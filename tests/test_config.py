@@ -1,0 +1,34 @@
+import pytest
+
+from memotr_tpu.config import update_config, cfg_get, num_classes_for_dataset
+
+
+def test_cli_overlay_wins():
+    cfg = {"LR": 1e-4, "NESTED": {"DEPTH": 2}}
+    out = update_config(cfg, {"lr": 5e-5})
+    assert out["LR"] == 5e-5
+    assert cfg["LR"] == 1e-4  # original untouched
+
+
+def test_none_options_skipped():
+    cfg = {"LR": 1e-4}
+    out = update_config(cfg, {"lr": None})
+    assert out["LR"] == 1e-4
+
+
+def test_unknown_key_errors():
+    with pytest.raises(KeyError):
+        update_config({"LR": 1.0}, {"bogus": 3})
+
+
+def test_nested_overlay():
+    cfg = {"OUTER": {"INNER": 1}}
+    out = update_config(cfg, {"inner": 9})
+    assert out["OUTER"]["INNER"] == 9
+
+
+def test_defaults():
+    assert cfg_get({}, "MERGE_DET_TRACK_LAYER") == 0
+    assert cfg_get({"MERGE_DET_TRACK_LAYER": 1}, "MERGE_DET_TRACK_LAYER") == 1
+    assert num_classes_for_dataset("BDD100K") == 8
+    assert num_classes_for_dataset("DanceTrack") == 1
