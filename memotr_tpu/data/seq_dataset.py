@@ -1,0 +1,77 @@
+"""Streaming-inference sequence dataset (submit path).
+
+Spec: ``/root/reference/data/seq_dataset.py:10-51``: sorted frame list per
+sequence, cv2 BGR->RGB decode, short-side-800 / long-side-1536 resize,
+ImageNet normalization.  For the TPU path we additionally pad every frame to
+one *fixed* canvas (EVAL buckets) so the streaming step compiles exactly once
+per sequence orientation; the padding is masked out inside the model.
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+from .transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+class SeqDataset:
+    def __init__(self, seq_dir: str, image_height: int = 800,
+                 image_width: int = 1536):
+        if "BDD100K" in seq_dir:
+            names = sorted(os.listdir(seq_dir))
+            self.image_paths = [os.path.join(seq_dir, n) for n in names
+                                if n.endswith((".jpg", ".png"))]
+        else:
+            img_dir = os.path.join(seq_dir, "img1")
+            names = sorted(os.listdir(img_dir))
+            self.image_paths = [os.path.join(img_dir, n) for n in names
+                                if n.endswith((".jpg", ".png"))]
+        self.image_height = image_height
+        self.image_width = image_width
+        # one fixed canvas per sequence orientation -> one compiled step
+        first = cv2.imread(self.image_paths[0])
+        assert first is not None, self.image_paths[0]
+        h, w = first.shape[:2]
+        if h <= w:
+            self._canvas = (image_height, image_width)
+        else:
+            self._canvas = (image_width, image_height)
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def load(self, path: str) -> np.ndarray:
+        img = cv2.imread(path)
+        assert img is not None, path
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def process_image(self, image: np.ndarray):
+        """Resize + normalize (seq_dataset.py:33-43). Returns
+        (normalized HWC float32, (ori_h, ori_w), (resized_h, resized_w))."""
+        h, w = image.shape[:2]
+        scale = self.image_height / min(h, w)
+        if max(h, w) * scale > self.image_width:
+            scale = self.image_width / max(h, w)
+        th, tw = int(h * scale), int(w * scale)
+        resized = cv2.resize(image, (tw, th))
+        arr = resized.astype(np.float32) / 255.0
+        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+        return arr, (h, w), (th, tw)
+
+    def padded_canvas(self) -> Tuple[int, int]:
+        """Fixed canvas covering every possible resize of this sequence."""
+        return self._canvas
+
+    def __getitem__(self, item):
+        path = self.image_paths[item]
+        arr, ori_hw, new_hw = self.process_image(self.load(path))
+        H, W = self.padded_canvas()
+        canvas = np.zeros((H, W, 3), np.float32)
+        mask = np.ones((H, W), bool)
+        canvas[:arr.shape[0], :arr.shape[1]] = arr
+        mask[:arr.shape[0], :arr.shape[1]] = False
+        return {"image": canvas, "mask": mask, "ori_hw": ori_hw,
+                "resized_hw": new_hw, "path": path}

@@ -1,0 +1,4 @@
+from .evaluator import evaluate_sequences, evaluate_mot_challenge
+from .hota import hota_sequence, combine_hota
+from .clear import clear_sequence, combine_clear
+from .identity import identity_sequence, combine_identity

@@ -1,0 +1,101 @@
+"""Deformable transformer: level flattening + encoder + decoder.
+
+Behavioral spec: ``/root/reference/models/deformable_transformer.py:24-274``.
+Feature maps arrive NHWC; each level is flattened to (B, H*W, C), gets its
+level embedding added to the positional encoding (:196-219), valid ratios are
+computed from the padding masks (:175-190), then encoder and decoder run.
+Two-stage mode is unsupported, like the reference (:234-235).
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .decoder import Decoder
+from .encoder import Encoder
+
+
+def valid_ratios_from_masks(masks: List[jnp.ndarray]) -> jnp.ndarray:
+    """masks: per-level (B, H, W) True=pad -> (B, L, 2) as (w_ratio, h_ratio)
+    (deformable_transformer.py:175-190)."""
+    ratios = []
+    for m in masks:
+        _, h, w = m.shape
+        valid_h = jnp.sum(~m[:, :, 0], axis=1).astype(jnp.float32)
+        valid_w = jnp.sum(~m[:, 0, :], axis=1).astype(jnp.float32)
+        ratios.append(jnp.stack([valid_w / w, valid_h / h], axis=-1))
+    return jnp.stack(ratios, axis=1)
+
+
+class DeformableTransformer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 4
+    n_heads: int = 8
+    n_enc_points: int = 4
+    n_dec_points: int = 4
+    n_enc_layers: int = 6
+    n_dec_layers: int = 6
+    num_classes: int = 1
+    n_det_queries: int = 300
+    merge_det_track_layer: int = 0
+    dropout: float = 0.0
+    extra_track_attn: bool = False
+    use_dab: bool = True
+    with_box_refine: bool = True
+    use_checkpoint: bool = False
+    msda_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, srcs: List[jnp.ndarray], masks: List[jnp.ndarray],
+                 pos_embeds: List[jnp.ndarray], query_embed: jnp.ndarray,
+                 ref_pts: jnp.ndarray, query_mask: jnp.ndarray,
+                 deterministic: bool = True):
+        """srcs/pos_embeds: per-level (B, H, W, C); masks: (B, H, W) True=pad.
+        query_embed: (B, Nq, C) [DAB] or (B, Nq, 2C) [D-DETR];
+        ref_pts: (B, Nq, 4) logit space; query_mask: (B, Nq) True=dead slot.
+        """
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.n_levels, self.d_model), jnp.float32)
+
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        src_flat = jnp.concatenate(
+            [s.reshape(s.shape[0], -1, s.shape[-1]) for s in srcs], axis=1)
+        mask_flat = jnp.concatenate(
+            [m.reshape(m.shape[0], -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [(p + level_embed[i][None, None, None, :]).reshape(
+                p.shape[0], -1, p.shape[-1])
+             for i, p in enumerate(pos_embeds)], axis=1)
+        valid_ratios = valid_ratios_from_masks(masks)
+
+        memory = Encoder(self.n_enc_layers, self.d_model, self.d_ffn,
+                         self.n_levels, self.n_heads, self.n_enc_points,
+                         self.dropout, self.use_checkpoint, self.msda_impl,
+                         self.dtype, name="encoder")(
+            src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+            deterministic)
+
+        if self.use_dab:
+            tgt = query_embed
+            query_pos = None
+        else:
+            query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
+            query_pos = query_pos.astype(self.dtype)
+        reference_points = jax.nn.sigmoid(ref_pts.astype(jnp.float32))
+
+        dec = Decoder(self.n_dec_layers, self.d_model, self.d_ffn,
+                      self.n_levels, self.n_heads, self.n_dec_points,
+                      self.num_classes, self.n_det_queries,
+                      self.merge_det_track_layer, self.dropout,
+                      self.extra_track_attn, self.use_dab,
+                      self.with_box_refine, self.use_checkpoint,
+                      self.msda_impl, self.dtype, name="decoder")(
+            tgt.astype(self.dtype), reference_points, memory, spatial_shapes,
+            valid_ratios, query_pos, query_mask, mask_flat, deterministic)
+        return dec

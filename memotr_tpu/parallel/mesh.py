@@ -1,0 +1,40 @@
+"""Device mesh + sharding helpers.
+
+The reference's data parallelism is NCCL DDP (``main.py:100``,
+``train_engine.py:89-90``); here DP is a one-axis ``jax.sharding.Mesh`` with
+batch-sharded inputs and replicated parameters — XLA inserts the gradient
+all-reduces (the DDP bucket equivalent) and the GT-count ``psum``
+(criterion.py:122-126 equivalent) during compilation.  Multi-host expansion
+(``jax.distributed.initialize``) keeps the same program; only the mesh grows.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Shard every leaf's leading (batch) dim across the mesh."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
