@@ -16,6 +16,7 @@ Sharding across hosts follows the reference's DistributedSampler semantics
 from __future__ import annotations
 
 import queue
+from queue import Full as queue_mod_full
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -137,7 +138,13 @@ class DataLoader:
                 items = [self.dataset[int(j)] for j in batches[k]]
                 batch = collate_clips(items, self.max_gts,
                                       self.bucket_multiple)
-                out_q.put((k, batch))
+                # stop-aware put so early generator exit can't strand us
+                while not stop.is_set():
+                    try:
+                        out_q.put((k, batch), timeout=0.2)
+                        break
+                    except queue_mod_full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]

@@ -19,7 +19,7 @@ from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 class SeqDataset:
     def __init__(self, seq_dir: str, image_height: int = 800,
-                 image_width: int = 1536):
+                 image_width: int = 1536, use_native: bool = True):
         if "BDD100K" in seq_dir:
             names = sorted(os.listdir(seq_dir))
             self.image_paths = [os.path.join(seq_dir, n) for n in names
@@ -39,6 +39,15 @@ class SeqDataset:
             self._canvas = (image_height, image_width)
         else:
             self._canvas = (image_width, image_height)
+        # fused C++ decode+resize+normalize+pad when the native data plane
+        # builds (native/dataplane.cpp); bit-identical to the Python path
+        self._native = False
+        if use_native:
+            try:
+                from .native import available
+                self._native = available()
+            except Exception:
+                self._native = False
 
     def __len__(self):
         return len(self.image_paths)
@@ -67,6 +76,14 @@ class SeqDataset:
 
     def __getitem__(self, item):
         path = self.image_paths[item]
+        if self._native:
+            from .native import decode_sync
+            out = decode_sync(path, self.image_height, self.image_width,
+                              self.padded_canvas())
+            if out is not None:
+                canvas, mask, ori_hw, new_hw = out
+                return {"image": canvas, "mask": mask, "ori_hw": ori_hw,
+                        "resized_hw": new_hw, "path": path}
         arr, ori_hw, new_hw = self.process_image(self.load(path))
         H, W = self.padded_canvas()
         canvas = np.zeros((H, W, 3), np.float32)

@@ -1,0 +1,209 @@
+"""Streaming-inference submit engine.
+
+Behavioral spec: ``/root/reference/submit_engine.py:24-252``.  Per sequence:
+decode/resize frames, run the compiled per-frame step (model forward ->
+runtime tracker lifecycle -> query updater), filter by score/area, convert to
+pixel xyxy, write MOT txt (or BDD100K JSON).  Sequences are sharded across
+hosts (submit_engine.py:225-231); the per-frame step compiles once per
+sequence orientation because all frames share a fixed canvas.
+
+The host-side loop overlaps the next frame's decode with the device step via
+a one-deep prefetch thread.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+import queue as queue_mod
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cfg_get, yaml_to_dict
+from ..data.seq_dataset import SeqDataset
+from ..log.logger import Logger
+from ..models.frame_step import apply_query_updater, model_forward
+from ..models.memotr import build_model
+from ..models.query_updater import build_query_updater
+from ..models.runtime_tracker import runtime_tracker_step
+from ..structures.padded_frame import PaddedFrames
+from ..structures.track_state import TrackState
+from ..utils.misc import logits_to_scores
+
+BDD_LABEL_NAMES = {
+    0: "pedestrian", 1: "rider", 2: "car", 3: "truck", 4: "bus",
+    5: "train", 6: "motorcycle", 7: "bicycle",
+}
+
+
+def make_eval_step(model, updater, n_det: int, det_thresh: float,
+                   track_thresh: float, miss_tolerance: int):
+    """Jitted streaming step: (params, uparams, images, mask, state) ->
+    (results, state)."""
+
+    def step(params, uparams, images, mask, state):
+        frames = PaddedFrames(images=images, mask=mask)
+        out = model_forward(model, params, frames, state, deterministic=True)
+        state = runtime_tracker_step(state, out, n_det, det_thresh,
+                                     track_thresh, miss_tolerance)
+        state = apply_query_updater(updater, uparams, state,
+                                    deterministic=True)
+        results = {
+            "ids": state.ids,
+            "labels": state.labels,
+            "boxes": state.boxes,
+            "scores": jnp.max(logits_to_scores(state.logits), axis=-1),
+            "mask": state.mask,
+        }
+        return results, state
+
+    return jax.jit(step, donate_argnums=(4,))
+
+
+class Submitter:
+    def __init__(self, dataset_name: str, seq_dir: str, seq_name: str,
+                 outputs_dir: str, model, updater, params, uparams,
+                 config: dict):
+        self.dataset_name = dataset_name
+        self.seq_name = seq_name
+        self.predict_dir = os.path.join(outputs_dir, "tracker")
+        os.makedirs(self.predict_dir, exist_ok=True)
+        self.model, self.updater = model, updater
+        self.params, self.uparams = params, uparams
+        self.det_thresh = config["DET_SCORE_THRESH"]
+        self.track_thresh = config["TRACK_SCORE_THRESH"]
+        self.result_thresh = config["RESULT_SCORE_THRESH"]
+        self.miss_tolerance = config["MISS_TOLERANCE"]
+        self.track_slots = cfg_get(config, "TRACK_SLOTS", 64)
+        self.hidden_dim = config["HIDDEN_DIM"]
+        self.use_dab = cfg_get(config, "USE_DAB", True)
+        self.area_thresh = 100
+        self.dataset = SeqDataset(
+            seq_dir,
+            image_height=cfg_get(config, "EVAL_SHORT_SIDE", 800),
+            image_width=cfg_get(config, "EVAL_MAX_SIDE", 1536))
+        self.step = make_eval_step(model, updater, model.n_det_queries,
+                                   self.det_thresh, self.track_thresh,
+                                   self.miss_tolerance)
+        txt = os.path.join(self.predict_dir, f"{seq_name}.txt")
+        if os.path.exists(txt):
+            os.remove(txt)
+
+    def _prefetch(self):
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+        def worker():
+            for i in range(len(self.dataset)):
+                q.put(self.dataset[i])
+            q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    def run(self) -> float:
+        """Returns model-step seconds (for FPS reporting)."""
+        import time
+        state = TrackState.empty(
+            1, self.track_slots, self.hidden_dim, self.model.num_classes,
+            use_dab=self.use_dab)
+        bdd_results: List[Dict] = []
+        device_time = 0.0
+        for i, item in enumerate(self._prefetch()):
+            images = jnp.asarray(item["image"])[None]
+            mask = jnp.asarray(item["mask"])[None]
+            t0 = time.time()
+            results, state = self.step(self.params, self.uparams, images,
+                                       mask, state)
+            results = jax.device_get(results)
+            device_time += time.time() - t0
+
+            ori_h, ori_w = item["ori_hw"]
+            keep = results["mask"][0] & (results["scores"][0] > self.result_thresh)
+            # boxes are normalized to the valid (unpadded) region — the
+            # valid-ratio machinery makes predictions padding-invariant — so
+            # they scale by the original dims directly (submit_engine.py:98)
+            boxes = results["boxes"][0]
+            cx = boxes[:, 0] * ori_w
+            cy = boxes[:, 1] * ori_h
+            w = boxes[:, 2] * ori_w
+            h = boxes[:, 3] * ori_h
+            area = w * h
+            keep &= area > self.area_thresh        # (submit_engine.py:127-131)
+            x1, y1 = cx - w / 2, cy - h / 2
+            ids = results["ids"][0]
+            labels = results["labels"][0]
+
+            if self.dataset_name == "BDD100K":
+                img_name = os.path.basename(item["path"])
+                frame_result = {
+                    "name": img_name, "videoName": img_name[:-12],
+                    "frameIndex": i, "labels": []}
+                for j in np.nonzero(keep)[0]:
+                    frame_result["labels"].append({
+                        "id": str(int(ids[j])),
+                        "category": BDD_LABEL_NAMES[int(labels[j])],
+                        "box2d": {"x1": float(x1[j]), "y1": float(y1[j]),
+                                  "x2": float(x1[j] + w[j]),
+                                  "y2": float(y1[j] + h[j])}})
+                bdd_results.append(frame_result)
+            else:
+                with open(os.path.join(self.predict_dir,
+                                       f"{self.seq_name}.txt"), "a") as f:
+                    for j in np.nonzero(keep)[0]:
+                        f.write(f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
+                                f"{w[j]},{h[j]},1,-1,-1,-1\n")
+
+        if self.dataset_name == "BDD100K":
+            with open(os.path.join(self.predict_dir,
+                                   f"{self.seq_name}.json"), "w") as f:
+                json.dump(bdd_results, f)
+        return device_time
+
+
+def submit(config: dict):
+    """Submit entry (submit_engine.py:187-252)."""
+    logger = Logger(logdir=os.path.join(config["SUBMIT_DIR"],
+                                        config["SUBMIT_DATA_SPLIT"]))
+    train_config = yaml_to_dict(
+        os.path.join(config["SUBMIT_DIR"], "train/config.yaml"))
+    dataset_name = train_config["DATASET"]
+    config = dict(config)
+    config["DATASET"] = dataset_name
+    for key in ("HIDDEN_DIM", "TRACK_SLOTS", "USE_DAB"):
+        if key in train_config:
+            config.setdefault(key, train_config[key])
+
+    model = build_model(train_config)
+    updater = build_query_updater(train_config)
+    from ..checkpoint.orbax_io import load_checkpoint
+    ckpt = load_checkpoint(
+        os.path.join(config["SUBMIT_DIR"], config["SUBMIT_MODEL"]))
+    params = {"params": ckpt["params"]["model"]}
+    if "frozen" in ckpt:
+        params["frozen"] = ckpt["frozen"]
+    uparams = {"params": ckpt["params"]["updater"]}
+
+    split = config["SUBMIT_DATA_SPLIT"]
+    root = config["DATA_ROOT"]
+    if dataset_name in ("DanceTrack", "SportsMOT"):
+        split_dir = os.path.join(root, dataset_name, split)
+    elif dataset_name == "BDD100K":
+        split_dir = os.path.join(root, dataset_name, "images/track/", split)
+    else:
+        split_dir = os.path.join(root, dataset_name, "images", split)
+    seq_names = sorted(os.listdir(split_dir))
+    # shard sequences across hosts (submit_engine.py:225-231)
+    seq_names = seq_names[jax.process_index()::jax.process_count()]
+
+    outputs_dir = os.path.join(config["SUBMIT_DIR"], split)
+    for seq in seq_names:
+        logger.show(head=f"Submitting {seq}")
+        Submitter(dataset_name, os.path.join(split_dir, seq), seq,
+                  outputs_dir, model, updater, params, uparams, config).run()

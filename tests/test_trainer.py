@@ -1,0 +1,79 @@
+"""Trainer internals: param-group labeling, LR schedules, optimizer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from memotr_tpu.engine.trainer import (group_lrs, label_tree,
+                                       lr_schedule_factory, make_optimizer,
+                                       param_group_label)
+
+
+def test_param_group_labels():
+    assert param_group_label(("model", "backbone", "layer2_0", "conv1",
+                              "kernel")) == "backbone"
+    # stem + layer1 frozen (backbone.py:72-74)
+    assert param_group_label(("model", "backbone", "conv1", "kernel")) == "frozen"
+    assert param_group_label(("model", "backbone", "layer1_0", "conv2",
+                              "kernel")) == "frozen"
+    assert param_group_label(("model", "transformer", "encoder", "layer_0",
+                              "self_attn", "sampling_offsets",
+                              "kernel")) == "points"
+    assert param_group_label(("model", "reference_points", "kernel")) == "points"
+    assert param_group_label(("updater", "memory_attn", "q_proj",
+                              "kernel")) == "query_updater"
+    assert param_group_label(("model", "transformer", "decoder",
+                              "class_embed_0", "bias")) == "base"
+
+
+def test_label_tree_structure():
+    params = {"model": {"backbone": {"conv1": {"kernel": jnp.zeros(1)}},
+                        "det_query_embed": jnp.zeros(2)},
+              "updater": {"memory_norm": {"scale": jnp.zeros(3)}}}
+    labels = label_tree(params)
+    assert labels["model"]["backbone"]["conv1"]["kernel"] == "frozen"
+    assert labels["model"]["det_query_embed"] == "base"
+    assert labels["updater"]["memory_norm"]["scale"] == "query_updater"
+
+
+def _cfg(**kw):
+    cfg = {"LR": 2e-4, "LR_BACKBONE": 2e-5, "LR_POINTS": 1e-5,
+           "WEIGHT_DECAY": 5e-4, "CLIP_MAX_NORM": 0.1,
+           "LR_SCHEDULER": "MultiStep", "LR_DROP_MILESTONES": [12],
+           "LR_DROP_RATE": 0.1, "EPOCHS": 20,
+           "ONLY_TRAIN_QUERY_UPDATER_AFTER": 20}
+    cfg.update(kw)
+    return cfg
+
+
+def test_multistep_schedule():
+    sched = lr_schedule_factory(_cfg())
+    assert sched(0) == 1.0 and sched(11) == 1.0
+    assert np.isclose(sched(12), 0.1) and np.isclose(sched(19), 0.1)
+
+
+def test_cosine_schedule():
+    sched = lr_schedule_factory(_cfg(LR_SCHEDULER="Cosine"))
+    assert np.isclose(sched(0), 1.0)
+    assert np.isclose(sched(10), 0.5)
+
+
+def test_group_lrs_with_updater_freeze():
+    lrs = group_lrs(_cfg(ONLY_TRAIN_QUERY_UPDATER_AFTER=5), epoch=6)
+    assert lrs["backbone"] == 0.0 and lrs["base"] == 0.0
+    assert lrs["query_updater"] > 0
+    assert lrs["frozen"] == 0.0
+    lrs2 = group_lrs(_cfg(), epoch=13)
+    assert np.isclose(lrs2["base"], 2e-5)       # dropped by 0.1 at 12
+    assert np.isclose(lrs2["backbone"], 2e-6)
+
+
+def test_optimizer_adamw_semantics():
+    opt = make_optimizer(_cfg())
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    grads = {"w": jnp.full((4,), 100.0)}   # will be clipped to norm 0.1
+    updates, _ = opt.update(grads, state, params)
+    # clip: ||g|| = 200 -> scaled to 0.1; adam normalizes magnitude ~1
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+    # weight decay adds wd * p to the update direction
+    assert np.all(np.asarray(updates["w"]) != 0)
