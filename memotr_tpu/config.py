@@ -103,6 +103,7 @@ _DEFAULTS = {
     "EVAL_SHORT_SIDE": 800,      # streaming-eval resize (seq_dataset.py:20-21)
     "EVAL_MAX_SIDE": 1536,
     "MSDA_IMPL": "auto",         # auto | pallas | xla
+    "MESH_DEVICES": None,        # cap the data-mesh device count (None = all)
 }
 
 

@@ -88,6 +88,10 @@ class Submitter:
         self.step = make_eval_step(model, updater, model.n_det_queries,
                                    self.det_thresh, self.track_thresh,
                                    self.miss_tolerance)
+        from ..utils.debug_dump import DebugDumper
+        self.dumper = DebugDumper(
+            os.path.join(outputs_dir, "visualize", seq_name),
+            enabled=bool(config.get("VISUALIZE", False)))
         txt = os.path.join(self.predict_dir, f"{seq_name}.txt")
         if os.path.exists(txt):
             os.remove(txt)
@@ -123,6 +127,7 @@ class Submitter:
                                        mask, state)
             results = jax.device_get(results)
             device_time += time.time() - t0
+            self.dumper.dump_frame(i, results=results, state=state)
 
             ori_h, ori_w = item["ori_hw"]
             keep = results["mask"][0] & (results["scores"][0] > self.result_thresh)

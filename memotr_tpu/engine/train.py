@@ -104,9 +104,10 @@ def train(config: dict):
     variables, uvars = load_pretrained(config, variables, uvars, logger)
 
     dataset = build_dataset(config, split="train")
+    mesh = make_mesh(cfg_get(config, "MESH_DEVICES", None))
     # BATCH_SIZE is per-device (like the reference's per-GPU batch=1,
     # README.md:104); each host loads BATCH_SIZE * local_device_count clips.
-    n_local = jax.local_device_count()
+    n_local = mesh.devices.size // jax.process_count()
     world = jax.process_count()
     local_config = dict(config)
     local_config["BATCH_SIZE"] = config["BATCH_SIZE"] * n_local
@@ -119,11 +120,10 @@ def train(config: dict):
     labels = label_tree(state.params)
     frozen = {"frozen": variables["frozen"]}
 
-    mesh = make_mesh()
     state = replicate(mesh, state)
     frozen = replicate(mesh, frozen)
 
-    cs = static_config(config, model, world_size=jax.device_count())
+    cs = static_config(config, model, world_size=int(mesh.devices.size))
     train_step = make_train_step(model, updater, criterion, optimizer, cs,
                                  labels)
 

@@ -179,8 +179,9 @@ class Decoder(nn.Module):
         outputs, refs, queries, logits_l, boxes_l = [], [], [], [], []
         layer_cls = DecoderLayer
         if self.use_checkpoint:
-            # static: spatial_shapes (4), merge_det_track (7), deterministic (8)
-            layer_cls = nn.remat(DecoderLayer, static_argnums=(4, 7, 8))
+            # static: spatial_shapes, merge_det_track, deterministic
+            # (flax counts `self` as argnum 0)
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(5, 8, 9))
 
         # Modules shared across the layer loop are constructed once.
         if self.use_dab:

@@ -87,8 +87,9 @@ class Encoder(nn.Module):
         reference_points = encoder_reference_points(spatial_shapes, valid_ratios)
         layer_cls = EncoderLayer
         if self.use_checkpoint:
-            # static: spatial_shapes (python tuple), deterministic (bool)
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3, 5))
+            # static: spatial_shapes (python tuple), deterministic (bool);
+            # flax counts `self` as argnum 0
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4, 6))
         out = src
         for i in range(self.num_layers):
             out = layer_cls(self.d_model, self.d_ffn, self.n_levels,

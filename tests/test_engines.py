@@ -59,7 +59,11 @@ def _config(root, outdir):
         "EVAL_DIR": outdir, "EVAL_MODE": "specific", "EVAL_MODEL": None,
         "SUBMIT_DIR": outdir, "SUBMIT_MODEL": None, "SUBMIT_DATA_SPLIT": "val",
         "EVAL_SHORT_SIDE": 64, "EVAL_MAX_SIDE": 128,
-        "DATASET_SPLITS": None,
+        # single-device mesh: this box has ONE CPU core, and XLA:CPU's
+        # all-reduce rendezvous hard-aborts after 40s when 8 virtual device
+        # threads contend for it.  Multi-device collectives are validated by
+        # __graft_entry__.dryrun_multichip instead.
+        "MESH_DEVICES": 1,
     }
 
 
@@ -68,16 +72,22 @@ def test_train_submit_eval(synth_root, tmp_path):
     outdir = str(tmp_path / "out")
     config = _config(synth_root, outdir)
 
-    # cap the epoch to a few iterations for test time
+    # Cap the epoch to a few iterations AND pre-materialize them: this box
+    # has a single CPU core, and loader threads decoding during the step
+    # starve XLA:CPU's 8-virtual-device all-reduce rendezvous (LOG(FATAL)
+    # timeout).  On real TPU hosts the collectives run on-device, so the
+    # overlap is what we want in production.
     from memotr_tpu.engine import train as train_mod
     from memotr_tpu.data.loader import DataLoader as DL
     orig_iter = DL.__iter__
 
     def short_iter(self):
+        batches = []
         for i, b in enumerate(orig_iter(self)):
-            if i >= 2:
+            batches.append(b)
+            if i >= 1:
                 break
-            yield b
+        yield from batches
     DL.__iter__ = short_iter
     try:
         train_mod.train(config)
