@@ -104,6 +104,7 @@ _DEFAULTS = {
     "EVAL_MAX_SIDE": 1536,
     "MSDA_IMPL": "auto",         # auto | pallas | xla
     "MESH_DEVICES": None,        # cap the data-mesh device count (None = all)
+    "TOKEN_SHARD_AXIS": None,    # mesh axis for sequence-parallel encoder tokens
 }
 
 

@@ -113,6 +113,17 @@ class Submitter:
 
     def run(self) -> float:
         """Returns model-step seconds (for FPS reporting)."""
+        import contextlib
+        ctx = contextlib.nullcontext()
+        if getattr(self.model, "token_shard_axis", None) and \
+                len(jax.devices()) > 1:
+            # sequence-parallel streaming: encoder tokens shard across chips
+            from ..parallel.mesh import make_mesh
+            ctx = jax.set_mesh(make_mesh(axis=self.model.token_shard_axis))
+        with ctx:
+            return self._run_inner()
+
+    def _run_inner(self) -> float:
         import time
         state = TrackState.empty(
             1, self.track_slots, self.hidden_dim, self.model.num_classes,

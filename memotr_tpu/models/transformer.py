@@ -48,6 +48,11 @@ class DeformableTransformer(nn.Module):
     with_box_refine: bool = True
     use_checkpoint: bool = False
     msda_impl: str = "auto"
+    # Sequence parallelism: shard the flattened token axis over this mesh
+    # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
+    # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
+    # chips; XLA inserts the value all-gathers over ICI.
+    token_shard_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,6 +78,12 @@ class DeformableTransformer(nn.Module):
                 p.shape[0], -1, p.shape[-1])
              for i, p in enumerate(pos_embeds)], axis=1)
         valid_ratios = valid_ratios_from_masks(masks)
+
+        if self.token_shard_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            spec = P(None, self.token_shard_axis, None)
+            src_flat = jax.lax.with_sharding_constraint(src_flat, spec)
+            pos_flat = jax.lax.with_sharding_constraint(pos_flat, spec)
 
         memory = Encoder(self.n_enc_layers, self.d_model, self.d_ffn,
                          self.n_levels, self.n_heads, self.n_enc_points,
