@@ -21,6 +21,8 @@ from scipy.optimize import linear_sum_assignment
 from .clear import clear_sequence, combine_clear
 from .hota import combine_hota, hota_sequence, summarize as hota_summary
 from .identity import combine_identity, identity_sequence
+from .vace import combine_vace, vace_sequence
+from .ideucl import combine_ideucl, ideucl_sequence
 from .similarity import build_sequence_data, iou_xywh
 
 # MOT17 GT class conventions (TrackEval mot_challenge_2d_box.py)
@@ -92,6 +94,8 @@ def evaluate_one_sequence(args) -> Dict:
         "hota": hota_sequence(data),
         "clear": clear_sequence(data),
         "identity": identity_sequence(data),
+        "vace": vace_sequence(data),
+        "ideucl": ideucl_sequence(data),
     }
 
 
@@ -110,6 +114,8 @@ def evaluate_sequences(pairs: Sequence[Tuple[str, str]],
     hota = combine_hota([r["hota"] for r in seq_res])
     clear = combine_clear([r["clear"] for r in seq_res])
     ident = combine_identity([r["identity"] for r in seq_res])
+    vace = combine_vace([r["vace"] for r in seq_res])
+    ideucl = combine_ideucl([r["ideucl"] for r in seq_res])
 
     out = hota_summary(hota)
     out.update({
@@ -124,6 +130,9 @@ def evaluate_sequences(pairs: Sequence[Tuple[str, str]],
         "IDF1": ident["IDF1"] * 100, "IDR": ident["IDR"] * 100,
         "IDP": ident["IDP"] * 100,
         "IDTP": ident["IDTP"], "IDFN": ident["IDFN"], "IDFP": ident["IDFP"],
+        "ATA": vace["ATA"] * 100, "SFDA": vace["SFDA"] * 100,
+        "STDA": vace["STDA"],
+        "IDEucl": ideucl["IDEucl"] * 100,
     })
     return out
 

@@ -43,6 +43,7 @@ def build_sequence_data(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
     pr_id_map: Dict[int, int] = {}
     gt_ids_list: List[np.ndarray] = []
     pr_ids_list: List[np.ndarray] = []
+    gt_dets_list: List[np.ndarray] = []
     sims: List[np.ndarray] = []
     num_gt_dets = num_pr_dets = 0
     for (gids, gboxes), (pids, pboxes) in zip(gt_frames, pr_frames):
@@ -54,13 +55,16 @@ def build_sequence_data(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
             [gt_id_map[int(i)] for i in np.asarray(gids)], np.int32))
         pr_ids_list.append(np.asarray(
             [pr_id_map[int(i)] for i in np.asarray(pids)], np.int32))
-        sims.append(iou_xywh(np.asarray(gboxes, np.float64).reshape(-1, 4),
+        gboxes_arr = np.asarray(gboxes, np.float64).reshape(-1, 4)
+        gt_dets_list.append(gboxes_arr)
+        sims.append(iou_xywh(gboxes_arr,
                              np.asarray(pboxes, np.float64).reshape(-1, 4)))
         num_gt_dets += len(gids)
         num_pr_dets += len(pids)
     return {
         "gt_ids": gt_ids_list,
         "pr_ids": pr_ids_list,
+        "gt_dets": gt_dets_list,
         "similarity": sims,
         "num_gt_ids": len(gt_id_map),
         "num_pr_ids": len(pr_id_map),

@@ -132,3 +132,36 @@ def test_perfect_tracker_is_perfect():
     assert c["MOTA"] == 1.0 and c["IDSW"] == 0
     i = identity_sequence(data)
     assert i["IDF1"] == 1.0
+
+
+from memotr_tpu.metrics.vace import vace_sequence, combine_vace
+from memotr_tpu.metrics.ideucl import ideucl_sequence
+
+from trackeval.metrics import VACE, IDEucl  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", [9, 10])
+def test_vace_matches_trackeval(seed):
+    rng = np.random.default_rng(seed)
+    data = build_sequence_data(*synth_scenario(rng))
+    ours = vace_sequence(data)
+    ref = VACE().eval_sequence(to_trackeval(data))
+    for k in ("STDA", "ATA", "FDA", "SFDA"):
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]),
+                                   atol=1e-10, err_msg=k)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_ideucl_matches_trackeval(seed):
+    rng = np.random.default_rng(seed)
+    gt_frames, pr_frames = synth_scenario(rng)
+    data = build_sequence_data(gt_frames, pr_frames)
+    ours = ideucl_sequence(data)
+    te = to_trackeval(data)
+    # TrackEval's IDEucl consumes xyxy gt_dets; ours uses xywh internally
+    te["gt_dets"] = [
+        np.concatenate([b[:, :2], b[:, :2] + b[:, 2:]], axis=1)
+        for b in data["gt_dets"]]
+    ref = IDEucl({"THRESHOLD": 0.5, "PRINT_CONFIG": False}).eval_sequence(te)
+    np.testing.assert_allclose(float(ours["IDEucl"]), float(ref["IDEucl"]),
+                               atol=1e-10)
