@@ -81,6 +81,13 @@ class Submitter:
         self.hidden_dim = config["HIDDEN_DIM"]
         self.use_dab = cfg_get(config, "USE_DAB", True)
         self.area_thresh = 100
+        self.use_motion = bool(config.get("USE_MOTION", False))
+        self.motion_lambda = config.get("MOTION_LAMBDA", 0.5)
+        if self.use_motion:
+            from ..models.motion import MotionBank
+            self.motion_bank = MotionBank(
+                config.get("MOTION_MIN_LENGTH", 3),
+                config.get("MOTION_MAX_LENGTH", 5))
         self.dataset = SeqDataset(
             seq_dir,
             image_height=cfg_get(config, "EVAL_SHORT_SIDE", 800),
@@ -139,6 +146,8 @@ class Submitter:
             results = jax.device_get(results)
             device_time += time.time() - t0
             self.dumper.dump_frame(i, results=results, state=state)
+            if self.use_motion:
+                state = self._apply_motion(state)
 
             ori_h, ori_w = item["ori_hw"]
             keep = results["mask"][0] & (results["scores"][0] > self.result_thresh)
@@ -181,6 +190,43 @@ class Submitter:
                                    f"{self.seq_name}.json"), "w") as f:
                 json.dump(bdd_results, f)
         return device_time
+
+    def _apply_motion(self, state):
+        """Post-hoc motion extrapolation of disappeared tracks' reference
+        points (submit_engine.py:78-87); host-side, off by default."""
+        import numpy as np
+        from ..utils.misc import logits_to_scores
+        mask = np.asarray(jax.device_get(state.mask[0]))
+        ids = np.asarray(jax.device_get(state.ids[0]))
+        boxes = np.asarray(jax.device_get(state.boxes[0]))
+        last_appear = np.asarray(jax.device_get(state.last_appear_boxes[0]))
+        disappear = np.asarray(jax.device_get(state.disappear_time[0]))
+        if not hasattr(self, "_prev_disappear"):
+            self._prev_disappear = {}
+        new_ref = None
+        for s in np.nonzero(mask)[0]:
+            if disappear[s] == 0:
+                # clear history on re-sighting (runtime_tracker.py:47-52)
+                reappeared = self._prev_disappear.get(int(ids[s]), 0) > 0
+                self.motion_bank.observe(ids[s], boxes[s],
+                                         reappeared=reappeared)
+            elif disappear[s] > 0:
+                extra = self.motion_bank.extrapolate(
+                    ids[s], last_appear[s], int(disappear[s]),
+                    self.motion_lambda)
+                if extra is not None:
+                    if new_ref is None:
+                        new_ref = np.asarray(
+                            jax.device_get(state.ref_pts[0])).copy()
+                    from scipy.special import logit
+                    clipped = np.clip(extra, 1e-5, 1 - 1e-5)
+                    new_ref[s] = logit(clipped)
+        for s in np.nonzero(mask)[0]:
+            self._prev_disappear[int(ids[s])] = int(disappear[s])
+        if new_ref is not None:
+            state = state.replace(
+                ref_pts=state.ref_pts.at[0].set(jnp.asarray(new_ref)))
+        return state
 
 
 def submit(config: dict):

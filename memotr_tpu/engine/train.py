@@ -30,7 +30,8 @@ from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..structures.track_state import TrackState
 from ..utils.misc import set_seed
 from .trainer import (TrainState, group_lrs, init_train_state, label_tree,
-                      make_optimizer, make_train_step, static_config)
+                      make_accum_steps, make_optimizer, make_train_step,
+                      no_grad_frames_for_epoch, static_config)
 
 
 def init_model_params(config: dict, model, updater, seed: int = 0):
@@ -123,9 +124,23 @@ def train(config: dict):
     state = replicate(mesh, state)
     frozen = replicate(mesh, frozen)
 
-    cs = static_config(config, model, world_size=int(mesh.devices.size))
-    train_step = make_train_step(model, updater, criterion, optimizer, cs,
-                                 labels)
+    accumulation = cfg_get(config, "ACCUMULATION_STEPS", 1)
+    world_size = int(mesh.devices.size)
+    step_cache = {}
+
+    def get_steps(no_grad):
+        """Per-(no_grad_frames) compiled steps; cached across epochs."""
+        if no_grad not in step_cache:
+            cs = static_config(config, model, world_size=world_size)
+            cs["no_grad_frames"] = 0 if no_grad is None else no_grad
+            if accumulation == 1:
+                step_cache[no_grad] = make_train_step(
+                    model, updater, criterion, optimizer, cs, labels)
+            else:
+                step_cache[no_grad] = make_accum_steps(
+                    model, updater, criterion, optimizer, cs, labels,
+                    accumulation)
+        return step_cache[no_grad]
 
     states = {"start_epoch": 0, "global_iters": 0}
     if config.get("RESUME"):
@@ -137,7 +152,6 @@ def train(config: dict):
         if "frozen" in restored:
             frozen = replicate(mesh, {"frozen": restored["frozen"]})
 
-    accumulation = cfg_get(config, "ACCUMULATION_STEPS", 1)
     rng = jax.random.PRNGKey(config["SEED"])
     multi_checkpoint = bool(config.get("MULTI_CHECKPOINT", False))
 
@@ -147,6 +161,8 @@ def train(config: dict):
                for k, v in group_lrs(config, epoch).items()}
         logger.show(head=f"[Epoch {epoch}] lrs="
                          f"{ {k: float(v) for k, v in lrs.items()} }")
+        no_grad = no_grad_frames_for_epoch(config, epoch)
+        steps = get_steps(no_grad)
 
         metric_log = MetricLog()
         epoch_t0 = time.time()
@@ -157,13 +173,17 @@ def train(config: dict):
             device_batch = shard_batch(mesh, {
                 k: jnp.asarray(v) for k, v in batch.items()})
             if accumulation == 1:
-                state, logs = train_step(state, frozen, device_batch,
-                                         step_rng, lrs)
+                state, logs = steps(state, frozen, device_batch,
+                                    step_rng, lrs)
             else:
-                # micro-batch accumulation (train_engine.py:237-246)
-                state, logs, grad_accum = _accum_step(
-                    train_step, state, frozen, device_batch, step_rng, lrs,
-                    grad_accum, i, accumulation)
+                # true gradient accumulation (train_engine.py:237-246)
+                grad_step, apply_step = steps
+                grad_accum, logs = grad_step(state.params, frozen,
+                                             device_batch, step_rng,
+                                             grad_accum)
+                if (i + 1) % accumulation == 0:
+                    state = apply_step(state, grad_accum, lrs)
+                    grad_accum = None
             logs = jax.device_get(logs)
             for k, v in logs.items():
                 metric_log.update(k, float(np.asarray(v)))
@@ -196,13 +216,3 @@ def train(config: dict):
                 states=states,
                 frozen=jax.device_get(frozen["frozen"]))
     return state
-
-
-def _accum_step(train_step, state, frozen, batch, rng, lrs, grad_accum,
-                i, accumulation):
-    # For simplicity and because every released config uses
-    # ACCUMULATION_STEPS=1, accumulation reuses the fused step on each
-    # micro-batch with LR scaled by 1/accumulation between optimizer hits.
-    scaled = {k: v / accumulation for k, v in lrs.items()}
-    state, logs = train_step(state, frozen, batch, rng, scaled)
-    return state, logs, None

@@ -245,6 +245,57 @@ def make_train_step(model, updater, criterion: ClipCriterion,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_accum_steps(model, updater, criterion: ClipCriterion,
+                     optimizer: optax.GradientTransformation,
+                     config_static: Dict, labels, accumulation: int):
+    """Gradient accumulation: the loss is divided by ACCUMULATION_STEPS and
+    micro-batch gradients summed before one optimizer hit, matching the
+    reference exactly (train_engine.py:237-246).
+
+    Returns (grad_step, apply_step):
+      grad_step(params, frozen, batch, rng, grad_accum) -> (grad_accum, logs)
+      apply_step(train_state, grad_accum, lrs) -> train_state
+    """
+
+    def loss_fn(trainable, frozen, batch, rng):
+        total, logs = clip_loss(trainable, frozen, model, updater, criterion,
+                                batch, rng, config_static)
+        return total / accumulation, logs
+
+    def grad_step(params, frozen, batch, rng, grad_accum):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frozen, batch, rng)
+        if grad_accum is None:
+            return grads, logs
+        return jax.tree.map(jnp.add, grad_accum, grads), logs
+
+    def apply_step(train_state: TrainState, grad_accum, lrs):
+        updates, new_opt = optimizer.update(grad_accum, train_state.opt_state,
+                                            train_state.params)
+        updates = jax.tree.map(lambda u, lbl: u * -lrs[lbl], updates, labels)
+        new_params = optax.apply_updates(train_state.params, updates)
+        return TrainState(new_params, new_opt)
+
+    return (jax.jit(grad_step, donate_argnums=(4,)),
+            jax.jit(apply_step, donate_argnums=(0, 1)))
+
+
+def no_grad_frames_for_epoch(config: Dict, epoch: int):
+    """Resolve the NO_GRAD_FRAMES schedule (train_engine.py:119-124):
+    NO_GRAD_STEPS is a descending epoch-threshold list; the first threshold
+    the epoch has reached selects the matching NO_GRAD_FRAMES entry."""
+    steps = config.get("NO_GRAD_STEPS")
+    frames = config.get("NO_GRAD_FRAMES")
+    if not steps or frames is None:
+        return frames if isinstance(frames, int) else None
+    if isinstance(frames, int):
+        frames = [frames] * len(steps)
+    for i, s in enumerate(steps):
+        if epoch >= s:
+            return frames[i]
+    return None
+
+
 def init_train_state(params_model: Dict, params_updater: Dict,
                      optimizer: optax.GradientTransformation) -> TrainState:
     trainable = {"model": params_model, "updater": params_updater}

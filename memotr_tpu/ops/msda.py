@@ -79,7 +79,10 @@ def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray,
                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
     g = g.reshape(b, lq, m, p, 4, d)
     wts = jnp.where(valid, wts, 0.0).astype(g.dtype)
-    return jnp.einsum("blmpcd,blmpc->blmpd", g, wts)
+    # accumulate the 4-corner lerp in f32 even for bf16 values
+    out = jnp.einsum("blmpcd,blmpc->blmpd", g, wts,
+                     preferred_element_type=jnp.float32)
+    return out.astype(value_l.dtype)
 
 
 def ms_deform_attn_xla(value: jnp.ndarray,
@@ -98,15 +101,17 @@ def ms_deform_attn_xla(value: jnp.ndarray,
     _, lq, _, nl, p, _ = sampling_locations.shape
     assert nl == len(spatial_shapes)
 
-    out = jnp.zeros((b, lq, m, d), value.dtype)
+    out = jnp.zeros((b, lq, m, d), jnp.float32)
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
         start += h * w
         samples = _level_sample(value_l, sampling_locations[:, :, :, lid], h, w)
         aw = attention_weights[:, :, :, lid].astype(samples.dtype)
-        out = out + jnp.einsum("blmpd,blmp->blmd", samples, aw)
-    return out.reshape(b, lq, m * d)
+        # f32 accumulation across levels/points regardless of value dtype
+        out = out + jnp.einsum("blmpd,blmp->blmd", samples, aw,
+                               preferred_element_type=jnp.float32)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations,

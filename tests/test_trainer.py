@@ -77,3 +77,57 @@ def test_optimizer_adamw_semantics():
     assert np.all(np.isfinite(np.asarray(updates["w"])))
     # weight decay adds wd * p to the update direction
     assert np.all(np.asarray(updates["w"]) != 0)
+
+
+def test_accumulation_matches_single_step():
+    """Two identical micro-batches accumulated == one fused step (since
+    (g/2 + g/2) == g), reference semantics of train_engine.py:237-246."""
+    import jax
+    from memotr_tpu.engine.trainer import (init_train_state, label_tree,
+                                           make_accum_steps, make_train_step)
+
+    def quad_loss(trainable, frozen, batch, rng):
+        del frozen, rng
+        total = sum(jnp.sum((l - batch["t"]) ** 2)
+                    for l in jax.tree.leaves(trainable))
+        return total, {"total_loss": total, "n_gts": jnp.zeros(())}
+
+    import memotr_tpu.engine.trainer as tr
+    orig = tr.clip_loss
+    tr.clip_loss = lambda t, f, m, u, c, b, r, cs: quad_loss(t, f, b, r)
+    try:
+        opt = make_optimizer(_cfg())
+        params = {"model": {"w": jnp.ones((4,))},
+                  "updater": {"v": jnp.full((3,), 2.0)}}
+        labels = label_tree(params)
+        batch = {"t": jnp.asarray(0.5)}
+        lrs = {k: jnp.asarray(v, jnp.float32)
+               for k, v in {"backbone": 1e-2, "points": 1e-2, "base": 1e-2,
+                            "query_updater": 1e-2, "frozen": 0.0}.items()}
+        s1 = init_train_state(jax.tree.map(jnp.copy, params["model"]),
+                              jax.tree.map(jnp.copy, params["updater"]), opt)
+        fused = make_train_step(None, None, None, opt, {}, labels)
+        s1, _ = fused(s1, {}, batch, jax.random.PRNGKey(0), lrs)
+
+        s2 = init_train_state(jax.tree.map(jnp.copy, params["model"]),
+                              jax.tree.map(jnp.copy, params["updater"]), opt)
+        grad_step, apply_step = make_accum_steps(None, None, None, opt, {},
+                                                 labels, accumulation=2)
+        acc, _ = grad_step(s2.params, {}, batch, jax.random.PRNGKey(0), None)
+        acc, _ = grad_step(s2.params, {}, batch, jax.random.PRNGKey(0), acc)
+        s2 = apply_step(s2, acc, lrs)
+
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    finally:
+        tr.clip_loss = orig
+
+
+def test_no_grad_frames_schedule():
+    from memotr_tpu.engine.trainer import no_grad_frames_for_epoch
+    cfg = {"NO_GRAD_STEPS": [20, 10], "NO_GRAD_FRAMES": [3, 1]}
+    assert no_grad_frames_for_epoch(cfg, 25) == 3
+    assert no_grad_frames_for_epoch(cfg, 15) == 1
+    assert no_grad_frames_for_epoch(cfg, 5) is None
+    assert no_grad_frames_for_epoch({"NO_GRAD_FRAMES": 2}, 0) == 2
+    assert no_grad_frames_for_epoch({}, 0) is None
