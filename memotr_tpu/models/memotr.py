@@ -57,6 +57,7 @@ class MeMOTR(nn.Module):
     with_box_refine: bool = True
     use_checkpoint: bool = False
     msda_impl: str = "auto"
+    encoder_type: str = "deformable"   # deformable | windowed (TPU-native)
     token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
     dtype: Any = jnp.float32
 
@@ -141,6 +142,7 @@ class MeMOTR(nn.Module):
             dropout=self.dropout, extra_track_attn=self.extra_track_attn,
             use_dab=self.use_dab, with_box_refine=self.with_box_refine,
             use_checkpoint=self.use_checkpoint, msda_impl=self.msda_impl,
+            encoder_type=self.encoder_type,
             token_shard_axis=self.token_shard_axis,
             dtype=self.dtype, name="transformer")(
             srcs, masks, poss, query_embed, ref_pts, query_mask, deterministic)
@@ -184,6 +186,7 @@ def build_model(config: dict) -> MeMOTR:
         with_box_refine=True,
         use_checkpoint=config.get("USE_CHECKPOINT", False),
         msda_impl=cfg_get(config, "MSDA_IMPL", "auto"),
+        encoder_type=cfg_get(config, "ENCODER_TYPE", "deformable"),
         token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),
         dtype=dtype,
     )

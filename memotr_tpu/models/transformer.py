@@ -48,6 +48,9 @@ class DeformableTransformer(nn.Module):
     with_box_refine: bool = True
     use_checkpoint: bool = False
     msda_impl: str = "auto"
+    # "deformable" = reference-faithful MSDA encoder; "windowed" = TPU-native
+    # windowed dense attention + cross-level fusion (models/windowed_encoder.py)
+    encoder_type: str = "deformable"
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
     # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
@@ -85,12 +88,21 @@ class DeformableTransformer(nn.Module):
             src_flat = jax.lax.with_sharding_constraint(src_flat, spec)
             pos_flat = jax.lax.with_sharding_constraint(pos_flat, spec)
 
-        memory = Encoder(self.n_enc_layers, self.d_model, self.d_ffn,
-                         self.n_levels, self.n_heads, self.n_enc_points,
-                         self.dropout, self.use_checkpoint, self.msda_impl,
-                         self.dtype, name="encoder")(
-            src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
-            deterministic)
+        if self.encoder_type == "windowed":
+            from .windowed_encoder import WindowedEncoder
+            memory = WindowedEncoder(
+                self.n_enc_layers, self.d_model, self.d_ffn, self.n_heads,
+                dropout=self.dropout, use_checkpoint=self.use_checkpoint,
+                dtype=self.dtype, name="encoder")(
+                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                deterministic)
+        else:
+            memory = Encoder(self.n_enc_layers, self.d_model, self.d_ffn,
+                             self.n_levels, self.n_heads, self.n_enc_points,
+                             self.dropout, self.use_checkpoint, self.msda_impl,
+                             self.dtype, name="encoder")(
+                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                deterministic)
 
         if self.use_dab:
             tgt = query_embed
