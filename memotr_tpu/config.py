@@ -106,6 +106,7 @@ _DEFAULTS = {
     "MESH_DEVICES": None,        # cap the data-mesh device count (None = all)
     "TOKEN_SHARD_AXIS": None,    # mesh axis for sequence-parallel encoder tokens
     "ENCODER_TYPE": "deformable",  # deformable | windowed (TPU-native)
+    "FIXED_TRAIN_CANVAS": None,  # (H, W) pad every train batch to one canvas
 }
 
 

@@ -30,4 +30,5 @@ def build_dataloader(dataset, config: dict, shuffle: bool = True,
         seed=config.get("SEED", 42),
         rank=rank,
         world_size=world_size,
+        fixed_canvas=cfg_get(config, "FIXED_TRAIN_CANVAS", None),
     )

@@ -42,14 +42,26 @@ def epoch_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
 
 
 def collate_clips(batch: List[Dict], max_gts: int,
-                  bucket_multiple: int = 128) -> Dict[str, np.ndarray]:
+                  bucket_multiple: int = 128,
+                  fixed_canvas=None) -> Dict[str, np.ndarray]:
     """List of {"imgs": [T x HWC float32], "infos": [T x dict]} ->
-    fixed-shape numpy batch."""
+    fixed-shape numpy batch.
+
+    ``fixed_canvas=(H, W)`` pads every batch to one static canvas — one
+    compiled train step for the whole run, at the cost of extra padding
+    compute.  With remote-TPU compiles at ~10 min each, this usually wins
+    over per-bucket compilation."""
     b = len(batch)
     t = len(batch[0]["imgs"])
     hs = [im.shape[0] for item in batch for im in item["imgs"]]
     ws = [im.shape[1] for item in batch for im in item["imgs"]]
-    H, W = bucket_hw(max(hs), max(ws), bucket_multiple)
+    if fixed_canvas is not None:
+        H, W = fixed_canvas
+        assert max(hs) <= H and max(ws) <= W, \
+            f"FIXED_TRAIN_CANVAS {fixed_canvas} smaller than batch " \
+            f"({max(hs)}x{max(ws)})"
+    else:
+        H, W = bucket_hw(max(hs), max(ws), bucket_multiple)
 
     images = np.zeros((b, t, H, W, 3), np.float32)
     mask = np.ones((b, t, H, W), bool)
@@ -90,7 +102,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, max_gts: int,
                  num_workers: int = 4, shuffle: bool = True, seed: int = 42,
                  rank: int = 0, world_size: int = 1,
-                 bucket_multiple: int = 128, prefetch: int = 4):
+                 bucket_multiple: int = 128, prefetch: int = 4,
+                 fixed_canvas=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gts = max_gts
@@ -101,6 +114,7 @@ class DataLoader:
         self.world_size = world_size
         self.bucket_multiple = bucket_multiple
         self.prefetch = prefetch
+        self.fixed_canvas = fixed_canvas
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -137,7 +151,8 @@ class DataLoader:
                     next_submit[0] += 1
                 items = [self.dataset[int(j)] for j in batches[k]]
                 batch = collate_clips(items, self.max_gts,
-                                      self.bucket_multiple)
+                                      self.bucket_multiple,
+                                      self.fixed_canvas)
                 # stop-aware put so early generator exit can't strand us
                 while not stop.is_set():
                     try:

@@ -68,6 +68,10 @@ def _config(root, outdir):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("jax").devices()[0].platform != "cpu",
+    reason="full engine e2e needs the scrubbed-CPU env (scripts/test_cpu.sh);"
+           " remote-TPU compiles make it prohibitively slow")
 def test_train_submit_eval(synth_root, tmp_path):
     outdir = str(tmp_path / "out")
     config = _config(synth_root, outdir)
