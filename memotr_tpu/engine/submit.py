@@ -39,6 +39,30 @@ BDD_LABEL_NAMES = {
 }
 
 
+def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
+                      area_thresh: float = 100.0):
+    """Slot results -> pixel-space detections for the writers.
+
+    Predictions are normalized to the valid (unpadded) region — the
+    valid-ratio machinery makes them padding-invariant — so they scale by
+    the original frame dims directly (submit_engine.py:89-98).  Returns
+    (keep indices, x1, y1, w, h, ids, labels) in original pixels; ``keep``
+    applies the score and the >100 px^2 area filters
+    (submit_engine.py:122-131).
+    """
+    import numpy as np
+    ori_h, ori_w = ori_hw
+    keep = results["mask"][0] & (results["scores"][0] > result_thresh)
+    boxes = results["boxes"][0]
+    cx = boxes[:, 0] * ori_w
+    cy = boxes[:, 1] * ori_h
+    w = boxes[:, 2] * ori_w
+    h = boxes[:, 3] * ori_h
+    keep = keep & (w * h > area_thresh)
+    return (np.nonzero(keep)[0], cx - w / 2, cy - h / 2, w, h,
+            results["ids"][0], results["labels"][0])
+
+
 def make_eval_step(model, updater, n_det: int, det_thresh: float,
                    track_thresh: float, miss_tolerance: int):
     """Jitted streaming step: (params, uparams, images, mask, state) ->
@@ -149,28 +173,15 @@ class Submitter:
             if self.use_motion:
                 state = self._apply_motion(state)
 
-            ori_h, ori_w = item["ori_hw"]
-            keep = results["mask"][0] & (results["scores"][0] > self.result_thresh)
-            # boxes are normalized to the valid (unpadded) region — the
-            # valid-ratio machinery makes predictions padding-invariant — so
-            # they scale by the original dims directly (submit_engine.py:98)
-            boxes = results["boxes"][0]
-            cx = boxes[:, 0] * ori_w
-            cy = boxes[:, 1] * ori_h
-            w = boxes[:, 2] * ori_w
-            h = boxes[:, 3] * ori_h
-            area = w * h
-            keep &= area > self.area_thresh        # (submit_engine.py:127-131)
-            x1, y1 = cx - w / 2, cy - h / 2
-            ids = results["ids"][0]
-            labels = results["labels"][0]
+            keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
+                results, item["ori_hw"], self.result_thresh, self.area_thresh)
 
             if self.dataset_name == "BDD100K":
                 img_name = os.path.basename(item["path"])
                 frame_result = {
                     "name": img_name, "videoName": img_name[:-12],
                     "frameIndex": i, "labels": []}
-                for j in np.nonzero(keep)[0]:
+                for j in keep_idx:
                     frame_result["labels"].append({
                         "id": str(int(ids[j])),
                         "category": BDD_LABEL_NAMES[int(labels[j])],
@@ -181,7 +192,7 @@ class Submitter:
             else:
                 with open(os.path.join(self.predict_dir,
                                        f"{self.seq_name}.txt"), "a") as f:
-                    for j in np.nonzero(keep)[0]:
+                    for j in keep_idx:
                         f.write(f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
                                 f"{w[j]},{h[j]},1,-1,-1,-1\n")
 
