@@ -134,6 +134,7 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
     state = TrackState.empty(b, cs["track_slots"], cs["hidden_dim"],
                              cs["num_classes"], use_dab=cs["use_dab"])
     loss_acc: Dict[str, jnp.ndarray] = {}
+    frame_logs: Dict[str, jnp.ndarray] = {}
     n_gts_total = jnp.zeros((), jnp.float32)
     deterministic = cs["dropout"] == 0.0
 
@@ -172,7 +173,14 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
 
         for k, v in losses.items():
             loss_acc[k] = loss_acc.get(k, 0.0) + v * cs["frame_weight"]
-        n_gts_total = n_gts_total + jnp.sum(n_gts).astype(jnp.float32)
+        frame_gts = jnp.sum(n_gts).astype(jnp.float32)
+        n_gts_total = n_gts_total + frame_gts
+        # per-frame normalized logs (criterion.py:131-135, 272-274)
+        frame_norm = jnp.maximum(frame_gts / cs["world_size"], 1.0) \
+            * cs["world_size"]
+        for k in ("box_l1_loss", "box_giou_loss", "label_focal_loss"):
+            if k in losses:
+                frame_logs[f"frame{f}_{k}"] = losses[k] / frame_norm
 
     # normalization identical to criterion.get_mean_by_n_gts under DDP
     world = cs["world_size"]
@@ -187,6 +195,7 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
 
     total = sum(w_for(k) * v for k, v in loss_acc.items()) / normalizer
     logs = {k: v / normalizer for k, v in loss_acc.items()}
+    logs.update(frame_logs)
     logs["total_loss"] = total
     logs["n_gts"] = n_gts_total
     return total, logs
