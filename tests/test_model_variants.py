@@ -1,3 +1,11 @@
+import jax as _jax
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    _jax.devices()[0].platform != "cpu",
+    reason="heavy end-to-end compiles; run via scripts/test_cpu.sh - the "
+           "remote-TPU tunnel makes each jit minutes-long")
+
 """Model variants: D-DETR (USE_DAB=False) path, remat flag, debug dumper."""
 import os
 
