@@ -69,7 +69,8 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 attn_mask: Optional[jnp.ndarray] = None):
         d_model = q.shape[-1]
         assert d_model % self.num_heads == 0
         head_dim = d_model // self.num_heads
@@ -85,9 +86,14 @@ class MultiheadAttention(nn.Module):
         qh, kh, vh = split(q_p), split(k_p), split(v_p)
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
             jnp.asarray(head_dim, jnp.float32)).astype(qh.dtype)
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
         if key_padding_mask is not None:
-            neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        if attn_mask is not None:
+            # boolean (B, Lq, Lk) or (Lq, Lk), True = disallow this pair
+            if attn_mask.ndim == 2:
+                attn_mask = attn_mask[None]
+            logits = jnp.where(attn_mask[:, None, :, :], neg, logits)
         attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vh.dtype)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)

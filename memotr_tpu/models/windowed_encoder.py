@@ -24,6 +24,7 @@ from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import MultiheadAttention
@@ -49,6 +50,28 @@ def _window_partition(x: jnp.ndarray, mask: jnp.ndarray, win: int,
     m = m.reshape(b, hh // win, win, ww // win, win)
     m = m.transpose(0, 1, 3, 2, 4).reshape(-1, win * win)
     return x, m, (hh, ww)
+
+
+def _shift_window_disallow(hh: int, ww: int, win: int, shift: int
+                           ) -> np.ndarray:
+    """Swin-style cross-boundary mask for shifted windows.
+
+    After the cyclic roll by ``-shift``, the edge windows mix tokens that came
+    from opposite image borders; those pairs must not attend (Swin's
+    ``img_mask`` trick).  In rolled-frame coordinates each axis splits into
+    three bands — [0, n-win), [n-win, n-shift), [n-shift, n) — and two rolled
+    positions are spatially contiguous iff their band ids match on both axes.
+
+    Returns a static (nW, win*win, win*win) bool array, True = disallow.
+    """
+    def bands(n: int) -> np.ndarray:
+        c = np.arange(n)
+        return np.where(c < n - win, 0, np.where(c < n - shift, 1, 2))
+
+    ids = bands(hh)[:, None] * 3 + bands(ww)[None, :]          # (hh, ww)
+    ids = ids.reshape(hh // win, win, ww // win, win)
+    ids = ids.transpose(0, 2, 1, 3).reshape(-1, win * win)     # (nW, win^2)
+    return ids[:, :, None] != ids[:, None, :]
 
 
 def _window_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
@@ -90,11 +113,19 @@ class WindowedEncoderLayer(nn.Module):
             q = x + pos.astype(x.dtype)
             qw, mw, hw_pad = _window_partition(q, m, self.window, shift)
             xw, _, _ = _window_partition(x, m, self.window, shift)
-            # fully-masked windows (all padding) would NaN the softmax; open
-            # one dummy key — their outputs are padding and never read
-            all_dead = jnp.all(mw, axis=1, keepdims=True)
-            mw = jnp.where(all_dead, jnp.zeros_like(mw), mw)
-            aw = attn(qw, qw, xw, key_padding_mask=mw,
+            # disallow = padded keys, plus (on shifted layers) Swin-style
+            # cross-boundary pairs wrapped together by the cyclic roll
+            disallow = jnp.broadcast_to(mw[:, None, :],
+                                        (mw.shape[0],) + (mw.shape[1],) * 2)
+            if shift:
+                region = jnp.asarray(_shift_window_disallow(
+                    hw_pad[0], hw_pad[1], self.window, shift))
+                disallow = disallow | jnp.tile(region, (b, 1, 1))
+            # rows with no allowed key (padding queries; outputs never read)
+            # would NaN the softmax — open one dummy key for them
+            dead_row = jnp.all(disallow, axis=2, keepdims=True)
+            disallow = disallow & ~dead_row
+            aw = attn(qw, qw, xw, attn_mask=disallow,
                       deterministic=deterministic)
             y = _window_merge(aw, hw_pad, b, h, w, self.window, shift)
             x = norm1(x + nn.Dropout(self.dropout,

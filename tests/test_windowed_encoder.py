@@ -34,6 +34,38 @@ def test_padding_tokens_are_masked():
     assert bool(mw.any()) and not bool(mw.all())
 
 
+def test_shifted_windows_mask_cross_boundary_pairs():
+    """Swin-style mask: after the cyclic roll, tokens wrapped from opposite
+    image edges share a window but must NOT attend to each other.
+
+    Perturbing the token at original position (0, 0) of a 16x16 level with a
+    shifted (shift=4, win=8) layer may only change outputs at original
+    positions [0:4, 0:4] — the other members of its rolled window came from
+    the far edges (rows/cols 12..15) and are masked."""
+    from memotr_tpu.models.windowed_encoder import WindowedEncoderLayer
+
+    layer = WindowedEncoderLayer(d_model=16, d_ffn=32, n_heads=2, window=8,
+                                 shifted=True, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (1, 16, 16, 16))
+    pos = jax.random.normal(jax.random.fold_in(rng, 1), (1, 16, 16, 16))
+    mask = jnp.zeros((1, 16, 16), bool)
+    params = layer.init(rng, [x], [mask], [pos])
+
+    base = layer.apply(params, [x], [mask], [pos])[0]
+    x2 = x.at[0, 0, 0].add(3.0)
+    pert = layer.apply(params, [x2], [mask], [pos])[0]
+    delta = np.abs(np.asarray(pert - base)).sum(-1)[0]       # (16, 16)
+
+    changed = delta > 1e-6
+    allowed = np.zeros((16, 16), bool)
+    allowed[0:4, 0:4] = True
+    assert changed[0, 0], "perturbed token itself must change"
+    leaked = changed & ~allowed
+    assert not leaked.any(), (
+        f"cross-boundary attention leak at {np.argwhere(leaked)[:8]}")
+
+
 def test_encoder_shapes_and_finiteness():
     shapes = ((16, 24), (8, 12), (4, 6), (2, 3))
     s_total = sum(h * w for h, w in shapes)
