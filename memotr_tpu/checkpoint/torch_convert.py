@@ -102,6 +102,14 @@ def convert_torch_state_dict(sd: Dict[str, Any], use_dab: bool = True
         mha_buffers.setdefault(base, {})[sub] = _np(v)
 
     for k, v in sd.items():
+        # the reference shares bbox/class heads between the decoder's box
+        # refinement and the output heads (set_refine_bbox_embed,
+        # deformable_transformer.py:272-274), so its state dict carries the
+        # same tensors twice; normalize the decoder alias onto the canonical
+        # top-level name (harmless identical overwrite)
+        k = re.sub(r"^transformer\.decoder\.(bbox_embed|class_embed)\.",
+                   r"\1.", k)
+
         # ---------------- backbone ------------------------------------------
         m = re.match(r"backbone\.backbone\.backbone\.(.*)", k)
         if m:

@@ -45,7 +45,9 @@ def build(config: dict, split: str) -> DanceTrack:
         transform = transforms_for_train(
             coco_size=config.get("COCO_SIZE", False),
             overflow_bbox=config.get("OVERFLOW_BBOX", False),
-            reverse_clip=config.get("REVERSE_CLIP", 0.0))
+            reverse_clip=config.get("REVERSE_CLIP", 0.0),
+            sizes=config.get("TRAIN_SHORT_SIDES", None),
+            max_size=config.get("TRAIN_MAX_SIZE", 1536))
     else:
         transform = transforms_for_eval()
     return DanceTrack(config=config, split=split, transform=transform)

@@ -70,6 +70,7 @@ def collate_clips(batch: List[Dict], max_gts: int,
     gt_labels = np.zeros((b, t, max_gts), np.int32)
     gt_mask = np.zeros((b, t, max_gts), bool)
 
+    gt_dropped = 0
     for i, item in enumerate(batch):
         for f, (img, info) in enumerate(zip(item["imgs"], item["infos"])):
             h, w = img.shape[:2]
@@ -77,7 +78,8 @@ def collate_clips(batch: List[Dict], max_gts: int,
             mask[i, f, :h, :w] = False
             n = len(info["boxes"])
             if n > max_gts:
-                # keep the largest boxes; truncation is logged by the trainer
+                # keep the largest boxes; the trainer logs ``gt_dropped``
+                gt_dropped += n - max_gts
                 keep = np.argsort(-np.asarray(info["areas"]))[:max_gts]
                 boxes = np.asarray(info["boxes"])[keep]
                 ids = np.asarray(info["ids"])[keep]
@@ -93,7 +95,8 @@ def collate_clips(batch: List[Dict], max_gts: int,
                 gt_labels[i, f, :n] = labels
                 gt_mask[i, f, :n] = True
     return {"images": images, "mask": mask, "gt_boxes": gt_boxes,
-            "gt_ids": gt_ids, "gt_labels": gt_labels, "gt_mask": gt_mask}
+            "gt_ids": gt_ids, "gt_labels": gt_labels, "gt_mask": gt_mask,
+            "gt_dropped": gt_dropped}
 
 
 class DataLoader:

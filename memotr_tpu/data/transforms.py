@@ -234,8 +234,22 @@ MOTR_SCALES = [608, 640, 672, 704, 736, 768, 800, 832, 864, 896, 928, 960, 992]
 
 
 def transforms_for_train(coco_size: bool = False, overflow_bbox: bool = False,
-                         reverse_clip: float = 0.0) -> MultiCompose:
-    """The reference's training stack (dancetrack.py:152-174)."""
+                         reverse_clip: float = 0.0, sizes=None,
+                         max_size: int = 1536) -> MultiCompose:
+    """The reference's training stack (dancetrack.py:152-174).
+
+    ``sizes`` (TPU-native knob, config TRAIN_SHORT_SIDES): overrides the
+    MOTR short-side scale list with a custom one and drops the resize-crop
+    branch — used for small-resolution experiments where upscaling to
+    608..992 would be pure padding waste."""
+    if sizes is not None:
+        return MultiCompose([
+            MultiRandomHorizontalFlip(),
+            MultiRandomResize(sizes=list(sizes), max_size=max_size),
+            MultiHSV(),
+            MultiNormalize(),
+            MultiReverseClip(reverse=reverse_clip),
+        ])
     return MultiCompose([
         MultiRandomHorizontalFlip(),
         MultiRandomSelect(

@@ -49,15 +49,25 @@ def eval_model(config: dict, eval_dir: str, model_name: str,
         gt_dir = os.path.join(config["DATA_ROOT"], dataset, split)
     else:
         gt_dir = os.path.join(config["DATA_ROOT"], dataset, "images", split)
+    # the reference always scores against a seqmap subset when one exists
+    # (eval_engine.py:93-97 passes --SEQMAP_FILE {split}_seqmap.txt)
+    seqmap = os.path.join(config["DATA_ROOT"], dataset, f"{split}_seqmap.txt")
     metrics = evaluate_mot_challenge(
         gt_dir, named_dir, dataset=dataset,
-        num_parallel=int(config.get("EVAL_THREADS", 8) or 8))
+        num_parallel=int(config.get("EVAL_THREADS", 8) or 8),
+        seqmap_file=seqmap if os.path.isfile(seqmap) else None)
     write_summary(metrics, os.path.join(named_dir, "pedestrian_summary.txt"))
     logger.show(head=f"[eval {model_name}]",
                 log={k: round(v, 3) for k, v in metrics.items()
                      if k in ("HOTA", "DetA", "AssA", "MOTA", "IDF1")})
     logger.write({k: float(v) for k, v in metrics.items()},
                  filename=f"{model_name}_metrics.json", mode="w")
+    # eval metrics -> scalar stream, per checkpoint epoch (the reference's
+    # metrics_to_tensorboard, eval_engine.py:127-130)
+    tail = model_name.rsplit("_", 1)[-1].split(".")[0]
+    epoch = int(tail) if tail.isdigit() else 0
+    logger.scalars({k: float(v) for k, v in metrics.items()
+                    if isinstance(v, (int, float))}, step=epoch, mode="epochs")
     return metrics
 
 

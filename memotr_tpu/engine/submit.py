@@ -71,8 +71,9 @@ def make_eval_step(model, updater, n_det: int, det_thresh: float,
     def step(params, uparams, images, mask, state):
         frames = PaddedFrames(images=images, mask=mask)
         out = model_forward(model, params, frames, state, deterministic=True)
-        state = runtime_tracker_step(state, out, n_det, det_thresh,
-                                     track_thresh, miss_tolerance)
+        state, overflow = runtime_tracker_step(
+            state, out, n_det, det_thresh, track_thresh, miss_tolerance,
+            with_overflow=True)
         state = apply_query_updater(updater, uparams, state,
                                     deterministic=True)
         results = {
@@ -81,6 +82,7 @@ def make_eval_step(model, updater, n_det: int, det_thresh: float,
             "boxes": state.boxes,
             "scores": jnp.max(logits_to_scores(state.logits), axis=-1),
             "mask": state.mask,
+            "slot_overflow": overflow,
         }
         return results, state
 
@@ -161,6 +163,7 @@ class Submitter:
             use_dab=self.use_dab)
         bdd_results: List[Dict] = []
         device_time = 0.0
+        overflow_total = 0
         for i, item in enumerate(self._prefetch()):
             images = jnp.asarray(item["image"])[None]
             mask = jnp.asarray(item["mask"])[None]
@@ -169,6 +172,7 @@ class Submitter:
                                        mask, state)
             results = jax.device_get(results)
             device_time += time.time() - t0
+            overflow_total += int(results.pop("slot_overflow"))
             self.dumper.dump_frame(i, results=results, state=state)
             if self.use_motion:
                 state = self._apply_motion(state)
@@ -200,6 +204,10 @@ class Submitter:
             with open(os.path.join(self.predict_dir,
                                    f"{self.seq_name}.json"), "w") as f:
                 json.dump(bdd_results, f)
+        if overflow_total:
+            print(f"[submit {self.seq_name}] WARNING: {overflow_total} "
+                  f"newborn tracks dropped (all {self.track_slots} slots "
+                  f"full) — raise TRACK_SLOTS", flush=True)
         return device_time
 
     def _apply_motion(self, state):

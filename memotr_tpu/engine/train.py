@@ -170,6 +170,12 @@ def train(config: dict):
         for i, batch in enumerate(dataloader):
             it_t0 = time.time()
             rng, step_rng = jax.random.split(rng)
+            gt_dropped = int(batch.pop("gt_dropped", 0))
+            if gt_dropped:
+                metric_log.update("gt_dropped", gt_dropped)
+                logger.show(head=f"[Epoch={epoch}, Iter={i}] WARNING:",
+                            log=f"{gt_dropped} GT boxes truncated "
+                                f"(MAX_GTS too small for this batch)")
             device_batch = shard_batch(mesh, {
                 k: jnp.asarray(v) for k, v in batch.items()})
             if accumulation == 1:

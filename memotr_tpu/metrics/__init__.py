@@ -4,3 +4,4 @@ from .clear import clear_sequence, combine_clear
 from .identity import identity_sequence, combine_identity
 from .vace import vace_sequence, combine_vace
 from .ideucl import ideucl_sequence, combine_ideucl
+from .count import count_sequence, combine_count

@@ -23,6 +23,7 @@ from .hota import combine_hota, hota_sequence, summarize as hota_summary
 from .identity import combine_identity, identity_sequence
 from .vace import combine_vace, vace_sequence
 from .ideucl import combine_ideucl, ideucl_sequence
+from .count import combine_count, count_sequence
 from .similarity import build_sequence_data, iou_xywh
 
 # MOT17 GT class conventions (TrackEval mot_challenge_2d_box.py)
@@ -96,6 +97,7 @@ def evaluate_one_sequence(args) -> Dict:
         "identity": identity_sequence(data),
         "vace": vace_sequence(data),
         "ideucl": ideucl_sequence(data),
+        "count": count_sequence(data),
     }
 
 
@@ -116,6 +118,7 @@ def evaluate_sequences(pairs: Sequence[Tuple[str, str]],
     ident = combine_identity([r["identity"] for r in seq_res])
     vace = combine_vace([r["vace"] for r in seq_res])
     ideucl = combine_ideucl([r["ideucl"] for r in seq_res])
+    count = combine_count([r["count"] for r in seq_res])
 
     out = hota_summary(hota)
     out.update({
@@ -134,19 +137,42 @@ def evaluate_sequences(pairs: Sequence[Tuple[str, str]],
         "STDA": vace["STDA"],
         "IDEucl": ideucl["IDEucl"] * 100,
     })
+    out.update(count)
     return out
+
+
+def load_seqmap(path: str) -> List[str]:
+    """Parse a TrackEval seqmap file: optional ``name`` header line, then one
+    sequence name per line (TrackEval ``_get_seq_info``; the reference eval
+    passes ``--SEQMAP_FILE {split}_seqmap.txt``, eval_engine.py:93-97)."""
+    names: List[str] = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            s = line.strip()
+            if not s or (i == 0 and s.lower() == "name"):
+                continue
+            names.append(s.split(",")[0].strip())
+    return names
 
 
 def evaluate_mot_challenge(gt_dir: str, tracker_dir: str,
                            seq_names: Optional[Sequence[str]] = None,
                            dataset: str = "DanceTrack",
-                           num_parallel: int = 8) -> Dict:
+                           num_parallel: int = 8,
+                           seqmap_file: Optional[str] = None) -> Dict:
     """Evaluate ``<tracker_dir>/<seq>.txt`` against
-    ``<gt_dir>/<seq>/gt/gt.txt`` (MOT-challenge layout)."""
+    ``<gt_dir>/<seq>/gt/gt.txt`` (MOT-challenge layout).
+
+    A seqmap file, when given, selects the sequence subset to score (the
+    reference always passes one — eval_engine.py:93-97); otherwise every GT
+    subdirectory is evaluated."""
     if seq_names is None:
-        seq_names = sorted(
-            n for n in os.listdir(gt_dir)
-            if os.path.isdir(os.path.join(gt_dir, n)))
+        if seqmap_file:
+            seq_names = load_seqmap(seqmap_file)
+        else:
+            seq_names = sorted(
+                n for n in os.listdir(gt_dir)
+                if os.path.isdir(os.path.join(gt_dir, n)))
     pairs = [(os.path.join(gt_dir, s, "gt", "gt.txt"),
               os.path.join(tracker_dir, f"{s}.txt")) for s in seq_names]
     distractors = MOT17_DISTRACTORS if dataset.startswith("MOT17") else ()

@@ -34,9 +34,17 @@ from .transformer import DeformableTransformer
 
 
 def _downsample_mask(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Nearest-neighbor downsample of a (B, H, W) bool mask (backbone.py:96)."""
-    return jax.image.resize(mask.astype(jnp.float32), (mask.shape[0], h, w),
-                            method="nearest").astype(bool)
+    """Nearest-neighbor downsample of a (B, H, W) bool mask (backbone.py:96).
+
+    Matches torch ``F.interpolate(mode="nearest")`` exactly: source index =
+    ``floor(i * H_in / H_out)``.  (``jax.image.resize`` nearest samples at
+    cell centers ``(i+0.5)*scale`` instead, which flips boundary cells when
+    the pad edge falls mid-cell — measured as a 1e-2 valid-ratio divergence
+    vs the reference at stride-32 levels.)"""
+    b, hh, ww = mask.shape
+    ri = (jnp.arange(h) * hh) // h
+    ci = (jnp.arange(w) * ww) // w
+    return mask[:, ri][:, :, ci]
 
 
 class MeMOTR(nn.Module):

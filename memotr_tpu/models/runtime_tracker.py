@@ -113,16 +113,22 @@ def newborn_candidates(state: TrackState, model_out: Dict, n_det: int,
 
 def runtime_tracker_step(state: TrackState, model_out: Dict, n_det: int,
                          det_score_thresh: float, track_score_thresh: float,
-                         miss_tolerance: int) -> TrackState:
+                         miss_tolerance: int, with_overflow: bool = False):
     """Full eval-time lifecycle: absorb outputs, kill, spawn, merge.
 
     Mirrors submit_engine.py:67-72: RuntimeTracker.update followed by the
     eval branch of select_active_tracks (keep ids >= 0, concat newborns).
+    With ``with_overflow`` also returns the number of newborn candidates
+    silently dropped because no free slot remained (int32 scalar).
     """
+    from ..structures.track_state import overflow_count
+
     state = update_tracked_slots(state, model_out, n_det)
     state = runtime_lifecycle(state, track_score_thresh, miss_tolerance)
     cand, next_id = newborn_candidates(state, model_out, n_det,
                                        det_score_thresh)
     state = state.replace(next_id=next_id)
     state = state.select(state.ids >= 0)   # eval keeps identified slots only
+    if with_overflow:
+        return insert_tracks(state, cand), overflow_count(state, cand)
     return insert_tracks(state, cand)

@@ -115,9 +115,24 @@ def hungarian_cost_padded(cost: jnp.ndarray, row_mask: jnp.ndarray,
     interchangeable across leftover columns).  cost: (..., R, C);
     row_mask: (..., R) bool.  Returns col4row (..., R) with -1 for invalid
     rows.
+
+    Non-finite cells (inf/nan used by callers as "forbidden") are capped at
+    a COST-SCALED finite value: BIG = fmax + (span + 1) * (R + 1), where
+    fmax/span come from the finite cells of each problem.  BIG exceeds any
+    achievable finite-assignment delta, so forbidden cells stay last-resort,
+    while staying ~R*span above the data — unlike a fixed 1e15, it cannot
+    catastrophically absorb real costs in the float32 dual potentials.
     """
-    safe_cost = jnp.where(row_mask[..., None], cost, pad_cost)
-    # Guard non-finite entries (masked cells) so Dijkstra stays finite.
-    safe_cost = jnp.nan_to_num(safe_cost, posinf=1e15, neginf=-1e15)
+    r = cost.shape[-2]
+    valid = row_mask[..., None] & jnp.isfinite(cost)
+    fmax = jnp.max(jnp.where(valid, cost, -jnp.inf), axis=(-2, -1),
+                   keepdims=True)
+    fmin = jnp.min(jnp.where(valid, cost, jnp.inf), axis=(-2, -1),
+                   keepdims=True)
+    fmax = jnp.where(jnp.isfinite(fmax), fmax, 0.0)
+    fmin = jnp.where(jnp.isfinite(fmin), fmin, 0.0)
+    big = fmax + (fmax - fmin + 1.0) * (r + 1)
+    safe_cost = jnp.where(valid, cost, big)
+    safe_cost = jnp.where(row_mask[..., None], safe_cost, pad_cost)
     col4row = hungarian(safe_cost)
     return jnp.where(row_mask, col4row, -1)

@@ -118,13 +118,23 @@ def ms_deform_attn_xla(value: jnp.ndarray,
     return out.reshape(b, lq, m * d)
 
 
+# The Pallas kernel's one-hot-matmul formulation does O(Lq * H) MXU work per
+# level and keeps (Qp, CW*D) blocks in VMEM — viable at decoder scale
+# (~364 queries: 0.65 ms/layer, parity with the XLA gather path on v5e;
+# see PERF_NOTES.md) but quadratic-cost and VMEM-infeasible at encoder
+# scale (~25k queries), where the XLA gather path remains the best available.
+PALLAS_MAX_QUERIES = 2048
+
+
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto"):
     """Dispatching entry point.  ``impl``: auto | pallas | xla."""
+    lq = sampling_locations.shape[1]
     if impl in ("pallas", "auto"):
         try:
             from .msda_pallas import ms_deform_attn_pallas, pallas_supported
-            if impl == "pallas" or pallas_supported():
+            if impl == "pallas" or (pallas_supported()
+                                    and lq <= PALLAS_MAX_QUERIES):
                 return ms_deform_attn_pallas(
                     value, spatial_shapes, sampling_locations, attention_weights)
         except ImportError:

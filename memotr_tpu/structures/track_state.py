@@ -132,6 +132,17 @@ def _insert_row(state_row: dict, cand_row: dict, num_slots: int) -> dict:
     return out
 
 
+def overflow_count(state: TrackState, candidates: dict) -> jnp.ndarray:
+    """Candidates that will NOT fit in free slots (summed over batch).
+
+    ``insert_tracks`` silently drops overflow (documented); this companion
+    makes the drop observable so engines can surface it (int32 scalar,
+    jit-safe)."""
+    n_free = jnp.sum(~state.mask, axis=1)                     # (B,)
+    n_cand = jnp.sum(candidates["mask"].astype(jnp.int32), axis=1)
+    return jnp.sum(jnp.maximum(n_cand - n_free, 0))
+
+
 def insert_tracks(state: TrackState, candidates: dict) -> TrackState:
     """Write candidate tracks into free slots (vmapped over batch).
 

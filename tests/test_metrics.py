@@ -165,3 +165,46 @@ def test_ideucl_matches_trackeval(seed):
     ref = IDEucl({"THRESHOLD": 0.5, "PRINT_CONFIG": False}).eval_sequence(te)
     np.testing.assert_allclose(float(ours["IDEucl"]), float(ref["IDEucl"]),
                                atol=1e-10)
+
+
+def test_seqmap_selects_sequence_subset(tmp_path):
+    """evaluate_mot_challenge must honor a TrackEval seqmap file
+    (the reference passes --SEQMAP_FILE, eval_engine.py:93-97)."""
+    from memotr_tpu.metrics.evaluator import (evaluate_mot_challenge,
+                                              load_seqmap)
+
+    gt_dir = tmp_path / "gt"
+    tr_dir = tmp_path / "tracker"
+    tr_dir.mkdir()
+    # seq_a: tracker perfect; seq_b: tracker empty (would tank HOTA)
+    for seq, track in (("seq_a", True), ("seq_b", False)):
+        d = gt_dir / seq / "gt"
+        d.mkdir(parents=True)
+        lines = [f"{t},1,{10 + t},20,30,40,1,1,1.0\n" for t in range(1, 6)]
+        (d / "gt.txt").write_text("".join(lines))
+        (tr_dir / f"{seq}.txt").write_text("".join(lines) if track else "")
+
+    smap = tmp_path / "val_seqmap.txt"
+    smap.write_text("name\nseq_a\n")
+    assert load_seqmap(str(smap)) == ["seq_a"]
+
+    only_a = evaluate_mot_challenge(str(gt_dir), str(tr_dir),
+                                    seqmap_file=str(smap), num_parallel=1)
+    both = evaluate_mot_challenge(str(gt_dir), str(tr_dir), num_parallel=1)
+    np.testing.assert_allclose(only_a["HOTA"], 100.0, atol=1e-6)
+    assert both["HOTA"] < 99.0
+
+
+def test_count_matches_trackeval():
+    from memotr_tpu.metrics.count import count_sequence, combine_count
+    from trackeval.metrics import Count
+    rng = np.random.default_rng(13)
+    datas = [build_sequence_data(*synth_scenario(rng)) for _ in range(3)]
+    ours = [count_sequence(d) for d in datas]
+    refs = [Count().eval_sequence(to_trackeval(d)) for d in datas]
+    for o, r in zip(ours, refs):
+        for f in ("Dets", "GT_Dets", "IDs", "GT_IDs"):
+            assert o[f] == r[f], f
+    comb = combine_count(ours)
+    rcomb = Count().combine_sequences({str(i): r for i, r in enumerate(refs)})
+    assert comb == {k: int(v) for k, v in rcomb.items()}

@@ -121,3 +121,57 @@ def test_channel_widths_like_reference_test():
         ours = np.asarray(ms_deform_attn_xla(
             jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
         np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
+
+
+# ---------------- Pallas kernel (interpret mode on CPU) ---------------------
+def _rand_inputs(seed, shapes, b=2, m=4, d=8, p=4, lq=37, oob=True):
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    hw = sum(h * w for h, w in shapes)
+    value = jax.random.normal(k1, (b, hw, m, d))
+    span = (1.3, -0.15) if oob else (1.0, 0.0)
+    loc = jax.random.uniform(k2, (b, lq, m, len(shapes), p, 2)) * span[0] \
+        + span[1]
+    aw = jax.nn.softmax(jax.random.normal(k3, (b, lq, m, len(shapes) * p)))
+    return value, loc, aw.reshape(b, lq, m, len(shapes), p)
+
+
+def test_pallas_forward_matches_xla():
+    from memotr_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+    shapes = ((25, 42), (13, 21), (7, 11), (4, 6))
+    value, loc, aw = _rand_inputs(0, shapes)
+    ref = ms_deform_attn_xla(value, shapes, loc, aw)
+    out = ms_deform_attn_pallas(value, shapes, loc, aw, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_forward_awkward_shapes():
+    """Prime-ish level widths exercise the no-chunk fallback; single level
+    and lq not a multiple of 8 exercise query padding."""
+    from memotr_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+    shapes = ((11, 17),)
+    value, loc, aw = _rand_inputs(1, shapes, b=1, m=2, d=16, p=3, lq=5)
+    ref = ms_deform_attn_xla(value, shapes, loc, aw)
+    out = ms_deform_attn_pallas(value, shapes, loc, aw, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_gradients_match_xla():
+    from memotr_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+    shapes = ((9, 12), (5, 6))
+    value, loc, aw = _rand_inputs(2, shapes, b=1, m=2, d=4, p=2, lq=9)
+
+    def lp(v, l, a):
+        return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a, True) ** 2)
+
+    def lx(v, l, a):
+        return jnp.sum(ms_deform_attn_xla(v, shapes, l, a) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(value, loc, aw)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(value, loc, aw)
+    for name, a, b in zip(("value", "loc", "aw"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=name)
