@@ -26,17 +26,26 @@ A100_BASELINE_FPS = 10.0
 
 
 def main():
+    import sys
+
     from memotr_tpu.models.memotr import MeMOTR
     from memotr_tpu.models.query_updater import QueryUpdater
     from memotr_tpu.engine.submit import make_eval_step
     from memotr_tpu.structures.track_state import TrackState
+
+    # "windowed" = the TPU-native flagship encoder (quality evidence:
+    # tools/flagship_eval.py trains both variants head-to-head on synthetic
+    # tracking data and scores HOTA through the real engines);
+    # "exact" = the reference-faithful deformable encoder.
+    variant = sys.argv[1] if len(sys.argv) > 1 else "windowed"
+    encoder_type = "windowed" if variant == "windowed" else "deformable"
 
     dtype = jnp.bfloat16
     c, slots, n_det = 256, 64, 300
     model = MeMOTR(num_classes=1, n_det_queries=n_det, n_feature_levels=4,
                    hidden_dim=c, ffn_dim=2048, n_heads=8, n_enc_layers=6,
                    n_dec_layers=6, merge_det_track_layer=1, use_dab=True,
-                   dtype=dtype, msda_impl="auto")
+                   dtype=dtype, msda_impl="auto", encoder_type=encoder_type)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
                            dtype=dtype)
 
@@ -63,7 +72,7 @@ def main():
     results, state = step(params, uparams, images, mask, state)
     _ = float(jnp.sum(results["scores"]))
 
-    n_iters = 10
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         results, state = step(params, uparams, images, mask, state)
@@ -73,7 +82,8 @@ def main():
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "streaming tracking FPS/chip (R50, 800x1536, 64 slots)",
+        "metric": f"streaming tracking FPS/chip "
+                  f"({variant} encoder, R50, 800x1536, 64 slots)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),

@@ -95,7 +95,7 @@ class Logger:
         with open(path, mode) as f:
             if filename.endswith(".yaml"):
                 yaml.dump(log, f, allow_unicode=True)
-            elif filename.endswith(".json"):
+            elif filename.endswith((".json", ".jsonl")):
                 f.write(json.dumps(log) + "\n")
             else:
                 f.write(f"{head} {log}\n")

@@ -92,7 +92,8 @@ def _finalize(res: Dict) -> Dict:
     res["MOTA"] = 1.0 - (fn + fp + res["IDSW"]) / n_gt_dets
     res["MODA"] = 1.0 - (fn + fp) / n_gt_dets
     res["MOTP"] = res["MOTP_sum"] / max(1.0, tp)
-    res["sMOTA"] = 1.0 - (fn + fp + res["IDSW"] - res["MOTP_sum"]) / n_gt_dets
+    # TrackEval clear.py:180: (MOTP_sum - FP - IDSW) / max(1, TP + FN)
+    res["sMOTA"] = (res["MOTP_sum"] - fp - res["IDSW"]) / n_gt_dets
     res["CLR_Re"] = tp / n_gt_dets
     res["CLR_Pr"] = tp / max(1.0, tp + fp)
     res["CLR_F1"] = 2 * tp / max(1.0, 2 * tp + fn + fp)

@@ -118,27 +118,19 @@ def ms_deform_attn_xla(value: jnp.ndarray,
     return out.reshape(b, lq, m * d)
 
 
-# The Pallas kernel's one-hot-matmul formulation does O(Lq * H) MXU work per
-# level and keeps (Qp, CW*D) blocks in VMEM — viable at decoder scale
-# (~364 queries: 0.65 ms/layer, parity with the XLA gather path on v5e;
-# see PERF_NOTES.md) but quadratic-cost and VMEM-infeasible at encoder
-# scale (~25k queries), where the XLA gather path remains the best available.
-PALLAS_MAX_QUERIES = 2048
-
-
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto"):
-    """Dispatching entry point.  ``impl``: auto | pallas | xla."""
-    lq = sampling_locations.shape[1]
-    if impl in ("pallas", "auto"):
-        try:
-            from .msda_pallas import ms_deform_attn_pallas, pallas_supported
-            if impl == "pallas" or (pallas_supported()
-                                    and lq <= PALLAS_MAX_QUERIES):
-                return ms_deform_attn_pallas(
-                    value, spatial_shapes, sampling_locations, attention_weights)
-        except ImportError:
-            if impl == "pallas":
-                raise
+    """Dispatching entry point.  ``impl``: auto | pallas | xla.
+
+    ``auto`` resolves to the XLA fused-gather path: the gather-free Pallas
+    kernel (ops/msda_pallas.py) measures at parity on v5e at decoder scale
+    (0.65-0.8 vs 0.65 ms/layer; PERF_NOTES.md) and is VMEM-infeasible at
+    encoder scale, so the gather path is never worse.  ``pallas`` selects
+    the kernel explicitly (decoder-scale query counts only).
+    """
+    if impl == "pallas":
+        from .msda_pallas import ms_deform_attn_pallas
+        return ms_deform_attn_pallas(value, spatial_shapes,
+                                     sampling_locations, attention_weights)
     return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                               attention_weights)

@@ -6,30 +6,35 @@ contract: ms_deform_attn_core_pytorch, ms_deform_attn_func.py:44-64).
 
 Why not a gather kernel: Mosaic's ``tpu.dynamic_gather`` only gathers within
 a single vreg, so a VMEM-table row gather is not expressible (PERF_NOTES.md).
-This kernel instead reformulates bilinear sampling as TWO MXU matmuls with
-NO gathers:
+This kernel reformulates bilinear sampling as TWO MXU matmuls with NO
+gathers, x-interpolation first (sum_l H_l*D < sum_l W_l*D, so putting H in
+the lane expansion halves the VPU work vs y-first):
 
-1. **y-interpolation**: a one-hot-with-weights matrix ``OY (Q, H)`` (two
-   nonzeros per row: ``1-fy`` at ``y0``, ``fy`` at ``y0+1``, attention weight
-   folded in, out-of-bounds rows naturally zero because the compare never
-   fires) contracts against the level's value block ``(H, W*D)``:
-   ``Y = OY @ V`` gives every query its y-lerped row for ALL x positions.
-2. **x-selection**: the x one-hot is expanded to the lane dimension
-   (``OXL (Q, W*D)``, weights at lanes ``x*D..x*D+D``) and applied
-   elementwise; the surviving ``(Q, W*D)`` product is reduced to ``(Q, D)``
-   by a matmul with a stacked-identity constant ``S (W*D, D)``,
-   ``S[w*D+d, d] = 1`` — a strided lane reduction on the MXU.
+1. **x-interpolation**: a tent-weight matrix ``OX (Q, W)`` — weight
+   ``max(0, 1 - |px - w|)`` is exactly the bilinear pair ``(1-fx, fx)`` at
+   ``floor(px), floor(px)+1`` and zero elsewhere, with the attention weight
+   folded in — contracts against the level's value block laid out as
+   ``(W, H*D)``: ``T = OX @ V`` x-lerps every query's sample for ALL rows h.
+2. **y-selection**: the y tent weight is evaluated directly on the lane
+   grid (``lane // D`` is the h coordinate), applied elementwise to ``T``,
+   and the surviving ``(Q, H*D)`` product is reduced to ``(Q, D)`` by a
+   matmul with a stacked-identity constant ``S[h*D+d, d] = 1`` — a strided
+   lane reduction on the MXU.
 
-Per level the grid is ``(heads, points)``; each program owns one head's
-value block and accumulates its point's contribution into the head's output
-block (sequential TPU grid, ``p == 0`` initializes).  The W axis is chunked
-to bound VMEM.  Levels are separate ``pallas_call``s (shapes differ), summed
-on the outside; batch is ``jax.vmap``.
+Out-of-bounds samples need no special casing: the tent is zero outside
+``(-1, size)``, and the half-in border corners hit zero-padded rows/lanes of
+the value block, reproducing grid_sample's zero padding exactly.
 
-Backward: the kernel is wrapped in ``custom_vjp`` whose backward is the VJP
-of the numerically-identical XLA-gather implementation (``ms_deform_attn_xla``
-— torch-oracle parity-tested) — training uses exact gradients while
-streaming inference gets the fused forward.
+ALL levels live in one ``pallas_call``: level blocks are stacked along the
+sublane (W) axis and lane-padded to a common ``H*D`` width (zero-padded, see
+above), so the per-call overhead (~0.1 ms each, measured) is paid once.  The
+grid is ``(heads,)``; points and levels are static loops inside the program,
+reusing the head's resident value block.  Batch is ``jax.vmap``.
+
+Backward: ``custom_vjp`` whose backward is the VJP of the
+numerically-identical XLA-gather implementation (``ms_deform_attn_xla`` —
+torch-oracle parity-tested) — training uses exact gradients while streaming
+inference gets the fused forward.
 """
 from __future__ import annotations
 
@@ -47,98 +52,60 @@ def pallas_supported() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pick_chunk(w: int, max_chunk: int = 64) -> int:
-    for c in range(min(w, max_chunk), 0, -1):
-        if w % c == 0:
-            return c
-    return w
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def _level_kernel(loc_ref, aw_ref, val_ref, out_ref, *, h: int, w: int,
-                  d: int, cw: int):
-    """One (head, point) program: (Qp,) queries of one head, one point.
+def _kernel(loc_ref, aw_ref, val_ref, out_ref, *, shapes, d: int,
+            lane_pads, w_starts, n_points: int, max_ch: int):
+    """One head: all levels, all points.
 
-    loc_ref: (1, 1, Qp, 2) f32 [x, y] in [0, 1]
-    aw_ref:  (1, 1, Qp, 1) f32 attention weights
-    val_ref: (1, H, W*D)   value block of this head
-    out_ref: (1, Qp, D)    f32, accumulated over the point grid axis
+    loc_ref: (1, L, P, Qp, 2) f32 [x, y] in [0, 1]
+    aw_ref:  (1, L, P, Qp, 1) f32 attention weights
+    val_ref: (1, sumW, HDmax)  value blocks stacked along sublanes,
+             level l at rows [w_starts[l], +W_l), lanes [0, H_l*D) real,
+             rest ZERO (makes border corners and pad lanes contribute 0)
+    out_ref: (1, Qp, D) f32
     """
-    p = pl.program_id(1)
-    qp = loc_ref.shape[2]
-    loc = loc_ref[0, 0]                                   # (Qp, 2)
-    aw = aw_ref[0, 0, :, 0]                               # (Qp,)
-
-    # grid_sample(align_corners=False) pixel coords (msda.py:53-61)
-    px = loc[:, 0] * w - 0.5
-    py = loc[:, 1] * h - 0.5
-    x0f = jnp.floor(px)
-    y0f = jnp.floor(py)
-    fx = (px - x0f)[:, None]                              # (Qp, 1)
-    fy = (py - y0f)[:, None]
-    x0 = x0f.astype(jnp.int32)[:, None]
-    y0 = y0f.astype(jnp.int32)[:, None]
-
-    # y one-hot with bilinear weights and the attention weight folded in;
-    # OOB y0/y1 never match the iota -> rows vanish (zero-padding semantics)
-    hy = jax.lax.broadcasted_iota(jnp.int32, (qp, h), 1)
-    oy = (jnp.where(hy == y0, 1.0 - fy, 0.0)
-          + jnp.where(hy == y0 + 1, fy, 0.0)) * aw[:, None]
-
+    qp = loc_ref.shape[3]
     vdt = val_ref.dtype
-    # x one-hot expanded to lanes: weight of column x lives at lanes
-    # [x*D, (x+1)*D); compare against lane//D
     acc = jnp.zeros((qp, d), jnp.float32)
-    # stacked identity S (CW*D, D): S[w*D+dd, dd] = 1  (lane regrouping)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (cw * d, d), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (cw * d, d), 1)
-    sel = (rows % d == cols).astype(vdt)
 
-    for wc in range(0, w, cw):
-        vblk = val_ref[0, :, wc * d:(wc + cw) * d]        # (H, CW*D)
-        y_blk = jnp.dot(oy.astype(vdt), vblk,
-                        preferred_element_type=jnp.float32)   # (Qp, CW*D)
-        lane_x = jax.lax.broadcasted_iota(
-            jnp.int32, (qp, cw * d), 1) // d + wc
-        oxl = (jnp.where(lane_x == x0, 1.0 - fx, 0.0)
-               + jnp.where(lane_x == x0 + 1, fx, 0.0))
-        prod = (y_blk * oxl).astype(vdt)
-        acc = acc + jnp.dot(prod, sel,
-                            preferred_element_type=jnp.float32)
+    for lid, (h, w) in enumerate(shapes):
+        hd = lane_pads[lid]                       # padded H*D lane width
+        ws = w_starts[lid]
+        # Mosaic iota must be integer-typed
+        wx = jax.lax.broadcasted_iota(
+            jnp.int32, (qp, w), 1).astype(jnp.float32)
+        for p in range(n_points):
+            loc = loc_ref[0, lid, p]                               # (Qp, 2)
+            aw = aw_ref[0, lid, p, :, 0]                           # (Qp,)
+            px = (loc[:, 0] * w - 0.5)[:, None]
+            py = (loc[:, 1] * h - 0.5)[:, None]
+            # bilinear tent in x, attention weight folded in
+            ox = jnp.maximum(1.0 - jnp.abs(px - wx), 0.0) * aw[:, None]
 
-    @pl.when(p == 0)
-    def _():
-        out_ref[0] = acc
-
-    @pl.when(p > 0)
-    def _():
-        out_ref[0] = out_ref[0] + acc
-
-
-def _level_pallas(value_l, loc_l, aw_l, h: int, w: int,
-                  interpret: bool) -> jnp.ndarray:
-    """value_l: (M, H, W*D); loc_l: (M, P, Qp, 2); aw_l: (M, P, Qp, 1).
-    Returns (M, Qp, D) f32."""
-    m, _, wd = value_l.shape
-    d = wd // w
-    _, p, qp, _ = loc_l.shape
-    cw = _pick_chunk(w)
-    kern = functools.partial(_level_kernel, h=h, w=w, d=d, cw=cw)
-    return pl.pallas_call(
-        kern,
-        grid=(m, p),
-        in_specs=[
-            pl.BlockSpec((1, 1, qp, 2), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qp, 1), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, wd), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, qp, d), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, qp, d), jnp.float32),
-        interpret=interpret,
-    )(loc_l, aw_l, value_l)
+            # chunk the H*D lane axis to bound the (Qp, H*D) intermediates;
+            # stage-2 runs in the value dtype (the XLA path also casts its
+            # bilinear weights to the value dtype, msda.py:83)
+            for c0 in range(0, hd, max_ch * d):
+                cl = min(max_ch * d, hd - c0)                  # lanes
+                vblk = val_ref[0, ws:ws + w, c0:c0 + cl]       # (W, cl)
+                # Mosaic requires 32-bit matmul accumulators; cast after
+                t = jnp.dot(ox.astype(vdt), vblk,
+                            preferred_element_type=jnp.float32
+                            ).astype(vdt)                      # (Qp, cl)
+                lane_h = jax.lax.broadcasted_iota(
+                    jnp.int32, (qp, cl), 1) // d + (c0 // d)
+                oyl = jnp.maximum(
+                    1.0 - jnp.abs(py - lane_h.astype(jnp.float32)), 0.0)
+                prod = t * oyl.astype(vdt)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (cl, d), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (cl, d), 1)
+                sel = (rows % d == cols).astype(vdt)
+                acc = acc + jnp.dot(prod, sel,
+                                    preferred_element_type=jnp.float32)
+    out_ref[0] = acc
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -146,26 +113,64 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
     b, hw, m, d = value.shape
     _, lq, _, nl, p, _ = sampling_locations.shape
     assert nl == len(spatial_shapes)
-    qp = -(-lq // 8) * 8                                  # sublane-pad queries
+    qp = _round_up(lq, 8)
 
-    loc = jnp.transpose(sampling_locations, (0, 2, 4, 1, 3, 5))
+    # (B, Lq, M, L, P, 2) -> (B, M, L, P, Qp, 2)
+    loc = jnp.transpose(sampling_locations, (0, 2, 3, 4, 1, 5))
     loc = jnp.pad(loc.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, 0), (0, qp - lq), (0, 0), (0, 0)))
-    aw = jnp.transpose(attention_weights, (0, 2, 4, 1, 3))
+                  ((0, 0),) * 4 + ((0, qp - lq), (0, 0)))
+    aw = jnp.transpose(attention_weights, (0, 2, 3, 4, 1))[..., None]
     aw = jnp.pad(aw.astype(jnp.float32),
-                 ((0, 0), (0, 0), (0, 0), (0, qp - lq), (0, 0)))
+                 ((0, 0),) * 4 + ((0, qp - lq), (0, 0)))
 
-    out = jnp.zeros((b, m, qp, d), jnp.float32)
+    # stack level value blocks (W_l, H_l*D) along sublanes, zero lane-pad to
+    # a common width (zero pad rows/lanes absorb border-corner taps)
+    hd_max = _round_up(max(h * d for h, _ in spatial_shapes), 128)
+    lane_pads, w_starts, blocks = [], [], []
     start = 0
-    for lid, (h, w) in enumerate(spatial_shapes):
+    wsum = 0
+    for (h, w) in spatial_shapes:
         value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
         start += h * w
-        # (B, H*W, M, D) -> (B, M, H, W*D)
-        value_l = jnp.transpose(value_l, (0, 2, 1, 3)).reshape(
-            b, m, h, w * d)
-        run = functools.partial(_level_pallas, h=h, w=w, interpret=interpret)
-        out = out + jax.vmap(run)(value_l, loc[..., lid, :],
-                                  aw[..., lid, None])
+        # (B, H*W, M, D) -> (B, M, W, H*D); sublane-align each level's row
+        # offset to 8 with zero rows (never referenced: the x tent only
+        # materializes columns [0, W))
+        w_pad = _round_up(w, 8)
+        vl = value_l.reshape(b, h, w, m, d).transpose(0, 3, 2, 1, 4)
+        vl = vl.reshape(b, m, w, h * d)
+        blocks.append(jnp.pad(vl, ((0, 0), (0, 0), (0, w_pad - w),
+                                   (0, hd_max - h * d))))
+        # each level only reads its own (128-rounded) H*D lane width —
+        # chunking over the full hd_max would quadruple small-level work
+        lane_pads.append(_round_up(h * d, 128))
+        w_starts.append(wsum)
+        wsum += w_pad
+    val = jnp.concatenate(blocks, axis=2)                 # (B, M, sumW, HDmax)
+
+    kern = functools.partial(
+        _kernel, shapes=tuple(spatial_shapes), d=d,
+        lane_pads=tuple(lane_pads), w_starts=tuple(w_starts), n_points=p,
+        max_ch=64)
+
+    def run(val_b, loc_b, aw_b):
+        return pl.pallas_call(
+            kern,
+            grid=(m,),
+            in_specs=[
+                pl.BlockSpec((1, nl, p, qp, 2), lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nl, p, qp, 1), lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wsum, hd_max), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, qp, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, qp, d), jnp.float32),
+            interpret=interpret,
+        )(loc_b, aw_b, val_b)
+
+    out = jax.vmap(run)(val, loc, aw)                     # (B, M, Qp, D)
     out = jnp.transpose(out[:, :, :lq], (0, 2, 1, 3))     # (B, Lq, M, D)
     return out.reshape(b, lq, m * d).astype(value.dtype)
 

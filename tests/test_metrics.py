@@ -82,7 +82,8 @@ def test_clear_matches_trackeval(seed):
     ours = clear_sequence(data)
     ref = CLEAR({"THRESHOLD": 0.5, "PRINT_CONFIG": False}).eval_sequence(
         to_trackeval(data))
-    for k in ("MOTA", "MOTP", "CLR_TP", "CLR_FN", "CLR_FP", "IDSW", "MT",
+    for k in ("MOTA", "MOTP", "sMOTA", "MODA", "CLR_TP", "CLR_FN",
+              "CLR_FP", "IDSW", "MT",
               "PT", "ML", "Frag", "CLR_Re", "CLR_Pr"):
         np.testing.assert_allclose(float(ours[k]), float(ref[k]),
                                    atol=1e-10, err_msg=k)
@@ -114,6 +115,7 @@ def test_combination_matches_trackeval():
     c_ref = c.combine_sequences(
         {i: c.eval_sequence(to_trackeval(d)) for i, d in enumerate(datas)})
     np.testing.assert_allclose(c_ours["MOTA"], c_ref["MOTA"], atol=1e-10)
+    np.testing.assert_allclose(c_ours["sMOTA"], c_ref["sMOTA"], atol=1e-10)
     i_ours = combine_identity([identity_sequence(d) for d in datas])
     i_m = Identity({"THRESHOLD": 0.5, "PRINT_CONFIG": False})
     i_ref = i_m.combine_sequences(

@@ -91,7 +91,7 @@ def base_config(root: str, outdir: str, encoder_type: str,
         "MATCH_COST_CLASS": 2, "MATCH_COST_BBOX": 5, "MATCH_COST_GIOU": 2,
         "LOSS_WEIGHT_FOCAL": 2, "LOSS_WEIGHT_L1": 5, "LOSS_WEIGHT_GIOU": 2,
         "AUX_LOSS_WEIGHT": [1.0, 1.0], "TRACK_SLOTS": 16, "MAX_GTS": 16,
-        "DTYPE": "float32", "MSDA_IMPL": "auto", "TP_DROP_RATE": 0.0,
+        "DTYPE": "float32", "MSDA_IMPL": "xla", "TP_DROP_RATE": 0.0,
         "FP_INSERT_RATE": 0.0, "MULTI_CHECKPOINT": False,
         "DET_SCORE_THRESH": 0.5, "TRACK_SCORE_THRESH": 0.5,
         "RESULT_SCORE_THRESH": 0.5, "MISS_TOLERANCE": 5,
