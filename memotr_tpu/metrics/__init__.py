@@ -5,3 +5,5 @@ from .identity import identity_sequence, combine_identity
 from .vace import vace_sequence, combine_vace
 from .ideucl import ideucl_sequence, combine_ideucl
 from .count import count_sequence, combine_count
+from .track_map import (build_track_data, combine_track_map,  # noqa: F401
+                        track_map_sequence)

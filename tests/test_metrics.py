@@ -210,3 +210,41 @@ def test_count_matches_trackeval():
     comb = combine_count(ours)
     rcomb = Count().combine_sequences({str(i): r for i, r in enumerate(refs)})
     assert comb == {k: int(v) for k, v in rcomb.items()}
+
+
+def test_track_map_matches_trackeval():
+    from memotr_tpu.metrics.track_map import (build_track_data,
+                                              combine_track_map,
+                                              track_map_sequence)
+    from trackeval.metrics import TrackMAP
+
+    tm = TrackMAP({"PRINT_CONFIG": False})
+    rng = np.random.default_rng(21)
+    ours_seq, ref_seq = [], {}
+    for s in range(3):
+        gt_frames, pr_frames = synth_scenario(rng, n_frames=12, n_gt=5)
+        # per-frame scores so track scores differ (sorted at combine time)
+        pr_scores = [rng.uniform(0.3, 1.0, len(ids)) for ids, _ in pr_frames]
+        data = build_track_data(gt_frames, pr_frames, pr_scores)
+        ours_seq.append(track_map_sequence(data))
+        ref_seq[s] = tm.eval_sequence({
+            "gt_track_ids": data["gt_track_ids"],
+            "dt_track_ids": data["dt_track_ids"],
+            "gt_tracks": data["gt_tracks"],
+            "dt_tracks": data["dt_tracks"],
+            "dt_track_scores": data["dt_track_scores"],
+            "gt_track_areas": data["gt_track_areas"],
+            "dt_track_areas": data["dt_track_areas"],
+            "gt_track_lengths": data["gt_track_lengths"],
+            "dt_track_lengths": data["dt_track_lengths"],
+            "gt_track_iscrowd": None,
+            "iou_type": "bbox", "boxformat": "xywh",
+        })
+    ours = combine_track_map(ours_seq)
+    ref = tm.combine_sequences(ref_seq)
+    for lbl in ("all", "area_s", "area_m", "area_l",
+                "time_s", "time_m", "time_l"):
+        np.testing.assert_allclose(ours[f"AP_{lbl}"], ref[f"AP_{lbl}"],
+                                   atol=1e-10, err_msg=f"AP_{lbl}")
+        np.testing.assert_allclose(ours[f"AR_{lbl}"], ref[f"AR_{lbl}"],
+                                   atol=1e-10, err_msg=f"AR_{lbl}")
