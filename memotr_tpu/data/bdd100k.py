@@ -115,4 +115,10 @@ def transforms_for_train():
 
 def build(config: dict, split: str) -> BDD100K:
     assert split == "train"
+    if config.get("TRAIN_SHORT_SIDES"):
+        # TPU-native small-resolution knob (same as dancetrack.py build)
+        from .transforms import transforms_for_train as shared_train_tf
+        tf = shared_train_tf(sizes=config["TRAIN_SHORT_SIDES"],
+                             max_size=config.get("TRAIN_MAX_SIZE", 1333))
+        return BDD100K(config=config, split=split, transform=tf)
     return BDD100K(config=config, split=split, transform=transforms_for_train())
