@@ -1,21 +1,29 @@
-"""TPU-native encoder: windowed dense attention + cross-level fusion.
+"""TPU-native encoder: alternating window/grid attention + cross-level fusion.
 
 The reference encoder is multi-scale deformable self-attention — per-token
-random-access gathers that have no efficient exact TPU mapping (PERF_NOTES.md:
-~54 ms/layer at 800x1536 against <5 ms for dense window attention).  This
-module is the TPU-first alternative for from-scratch training: same
-inputs/outputs as the deformable ``Encoder`` so the rest of the model is
-unchanged, but the computation is MXU-shaped:
+random-access gathers with no efficient exact TPU mapping (PERF_NOTES.md:
+~54 ms/layer at 800x1536 vs <5 ms for dense block attention).  This module
+is the TPU-first alternative for from-scratch training: same inputs/outputs
+as the deformable ``Encoder`` so the rest of the model is unchanged, but the
+computation is MXU-shaped:
 
-- per level: non-overlapping WxW window self-attention (Swin-style), with the
-  window grid shifted by W/2 on alternating layers so information crosses
-  window boundaries,
-- per layer: top-down cross-level fusion (coarser level upsampled, 1x1-mixed
-  and added) so every level sees the global context that deformable
-  attention's cross-level sampling provided,
-- the shared FFN, residuals and norms mirror the deformable encoder layer.
+- **local positional mixing**: a 3x3 depthwise conv residual per level
+  (LePE/CPE-style) before attention — cheap VPU work that carries precise
+  localization cues dense attention lacks;
+- **window attention** (even layers): dense self-attention inside
+  non-overlapping PxP blocks;
+- **grid attention** (odd layers): dense self-attention across the strided
+  grid — element (i, j) attends to all (i + a*P_h, j + b*P_w) — the MaxViT
+  pattern; one window+grid pair gives every token a global receptive field
+  with exact padding masks and none of the shifted-window roll/mask
+  bookkeeping;
+- **bidirectional cross-level fusion** per layer: top-down (upsampled
+  coarser level, mixed and added) and bottom-up (2x2-avg-pooled finer
+  level, mixed and added) — the cross-scale exchange that deformable
+  attention's multi-level sampling provided;
+- shared FFN, residuals and norms mirror the deformable encoder layer.
 
-This changes the architecture (it is NOT checkpoint-compatible with the
+This changes the architecture (NOT checkpoint-compatible with the
 reference); select it with ``ENCODER_TYPE: windowed``.
 """
 from __future__ import annotations
@@ -30,58 +38,44 @@ from flax import linen as nn
 from .layers import MultiheadAttention
 
 
-def _window_partition(x: jnp.ndarray, mask: jnp.ndarray, win: int,
-                      shift: int):
-    """(B, H, W, C) -> (B*nW, win*win, C) with a key-padding mask.
+def _block_partition(x: jnp.ndarray, mask: jnp.ndarray, win: int,
+                     grid: bool):
+    """(B, H, W, C) -> (B*nW, L, C) + key-padding mask.
 
-    Pads H/W up to multiples of ``win`` (padding tokens masked) and applies a
-    cyclic shift for shifted-window layers."""
+    ``grid=False``: contiguous PxP windows.  ``grid=True``: the transposed
+    (MaxViT) decomposition — groups are strided positions, attention spans
+    the whole map at stride P.  Pads H/W to multiples of ``win`` (padding
+    tokens masked)."""
     b, h, w, c = x.shape
     ph = (-h) % win
     pw = (-w) % win
     x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
     m = jnp.pad(mask, ((0, 0), (0, ph), (0, pw)), constant_values=True)
-    if shift:
-        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        m = jnp.roll(m, (-shift, -shift), axis=(1, 2))
     hh, ww = x.shape[1], x.shape[2]
     x = x.reshape(b, hh // win, win, ww // win, win, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
     m = m.reshape(b, hh // win, win, ww // win, win)
-    m = m.transpose(0, 1, 3, 2, 4).reshape(-1, win * win)
+    if grid:
+        # groups = (win_pos_h, win_pos_w); members = (block_h, block_w)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(
+            b * win * win, (hh // win) * (ww // win), c)
+        m = m.transpose(0, 2, 4, 1, 3).reshape(
+            b * win * win, (hh // win) * (ww // win))
+    else:
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+        m = m.transpose(0, 1, 3, 2, 4).reshape(-1, win * win)
     return x, m, (hh, ww)
 
 
-def _shift_window_disallow(hh: int, ww: int, win: int, shift: int
-                           ) -> np.ndarray:
-    """Swin-style cross-boundary mask for shifted windows.
-
-    After the cyclic roll by ``-shift``, the edge windows mix tokens that came
-    from opposite image borders; those pairs must not attend (Swin's
-    ``img_mask`` trick).  In rolled-frame coordinates each axis splits into
-    three bands — [0, n-win), [n-win, n-shift), [n-shift, n) — and two rolled
-    positions are spatially contiguous iff their band ids match on both axes.
-
-    Returns a static (nW, win*win, win*win) bool array, True = disallow.
-    """
-    def bands(n: int) -> np.ndarray:
-        c = np.arange(n)
-        return np.where(c < n - win, 0, np.where(c < n - shift, 1, 2))
-
-    ids = bands(hh)[:, None] * 3 + bands(ww)[None, :]          # (hh, ww)
-    ids = ids.reshape(hh // win, win, ww // win, win)
-    ids = ids.transpose(0, 2, 1, 3).reshape(-1, win * win)     # (nW, win^2)
-    return ids[:, :, None] != ids[:, None, :]
-
-
-def _window_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
-                  w: int, win: int, shift: int) -> jnp.ndarray:
+def _block_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
+                 w: int, win: int, grid: bool) -> jnp.ndarray:
     hh, ww = hw_pad
     c = xw.shape[-1]
-    x = xw.reshape(b, hh // win, ww // win, win, win, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
-    if shift:
-        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    if grid:
+        x = xw.reshape(b, win, win, hh // win, ww // win, c)
+        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(b, hh, ww, c)
+    else:
+        x = xw.reshape(b, hh // win, ww // win, win, win, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
     return x[:, :h, :w]
 
 
@@ -90,7 +84,7 @@ class WindowedEncoderLayer(nn.Module):
     d_ffn: int
     n_heads: int
     window: int = 8
-    shifted: bool = False
+    grid: bool = False            # False: window attention, True: grid attn
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -100,34 +94,34 @@ class WindowedEncoderLayer(nn.Module):
         """levels: per-level (B, H_l, W_l, C); masks: (B, H_l, W_l) True=pad."""
         attn = MultiheadAttention(self.n_heads, self.dropout,
                                   dtype=self.dtype, name="win_attn")
+        lepe = nn.Conv(self.d_model, (3, 3), padding="SAME",
+                       feature_group_count=self.d_model, dtype=self.dtype,
+                       name="lepe_dwconv")
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
         lin1 = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")
         lin2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
-        fuse = nn.Dense(self.d_model, dtype=self.dtype, name="topdown_mix")
+        topdown = nn.Dense(self.d_model, dtype=self.dtype, name="topdown_mix")
+        bottomup = nn.Dense(self.d_model, dtype=self.dtype,
+                            name="bottomup_mix")
 
         out = []
-        shift = self.window // 2 if self.shifted else 0
         for x, m, pos in zip(levels, masks, poss):
             b, h, w, _ = x.shape
+            # local positional mixing; zero padded pixels so the conv does
+            # not smear padding into the valid region
+            xz = jnp.where(m[..., None], 0.0, x)
+            x = x + lepe(xz)
             q = x + pos.astype(x.dtype)
-            qw, mw, hw_pad = _window_partition(q, m, self.window, shift)
-            xw, _, _ = _window_partition(x, m, self.window, shift)
-            # disallow = padded keys, plus (on shifted layers) Swin-style
-            # cross-boundary pairs wrapped together by the cyclic roll
-            disallow = jnp.broadcast_to(mw[:, None, :],
-                                        (mw.shape[0],) + (mw.shape[1],) * 2)
-            if shift:
-                region = jnp.asarray(_shift_window_disallow(
-                    hw_pad[0], hw_pad[1], self.window, shift))
-                disallow = disallow | jnp.tile(region, (b, 1, 1))
-            # rows with no allowed key (padding queries; outputs never read)
-            # would NaN the softmax — open one dummy key for them
-            dead_row = jnp.all(disallow, axis=2, keepdims=True)
-            disallow = disallow & ~dead_row
-            aw = attn(qw, qw, xw, attn_mask=disallow,
+            qw, mw, hw_pad = _block_partition(q, m, self.window, self.grid)
+            xw, _, _ = _block_partition(x, m, self.window, self.grid)
+            # fully-masked groups (all padding) would NaN the softmax; open
+            # one dummy key — their outputs are padding and never read
+            all_dead = jnp.all(mw, axis=1, keepdims=True)
+            mw = jnp.where(all_dead, jnp.zeros_like(mw), mw)
+            aw = attn(qw, qw, xw, key_padding_mask=mw,
                       deterministic=deterministic)
-            y = _window_merge(aw, hw_pad, b, h, w, self.window, shift)
+            y = _block_merge(aw, hw_pad, b, h, w, self.window, self.grid)
             x = norm1(x + nn.Dropout(self.dropout,
                                      deterministic=deterministic)(y))
             f = lin2(nn.Dropout(self.dropout, deterministic=deterministic)(
@@ -136,13 +130,24 @@ class WindowedEncoderLayer(nn.Module):
                                      deterministic=deterministic)(f))
             out.append(x)
 
-        # top-down cross-level fusion: level l += mix(upsample(level l+1))
+        # bidirectional cross-level fusion
         fused = list(out)
-        for i in range(len(fused) - 2, -1, -1):
+        for i in range(len(fused) - 2, -1, -1):          # top-down
             up = jax.image.resize(fused[i + 1],
                                   fused[i].shape[:1] + fused[i].shape[1:3]
                                   + fused[i + 1].shape[-1:], method="nearest")
-            fused[i] = fused[i] + fuse(up.astype(self.dtype))
+            fused[i] = fused[i] + topdown(up.astype(self.dtype))
+        for i in range(1, len(fused)):                   # bottom-up
+            src = fused[i - 1]
+            th, tw = fused[i].shape[1], fused[i].shape[2]
+            ph = (-src.shape[1]) % (2 * th) if src.shape[1] != 2 * th else 0
+            pw = (-src.shape[2]) % (2 * tw) if src.shape[2] != 2 * tw else 0
+            if ph or pw:
+                src = jnp.pad(src, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            down = src.reshape(src.shape[0], th, src.shape[1] // th,
+                               tw, src.shape[2] // tw, src.shape[-1])
+            down = down.mean(axis=(2, 4))
+            fused[i] = fused[i] + bottomup(down.astype(self.dtype))
         return fused
 
 
@@ -178,7 +183,7 @@ class WindowedEncoder(nn.Module):
             layer_cls = nn.remat(WindowedEncoderLayer, static_argnums=(4,))
         for i in range(self.num_layers):
             levels = layer_cls(self.d_model, self.d_ffn, self.n_heads,
-                               self.window, shifted=(i % 2 == 1),
+                               self.window, grid=(i % 2 == 1),
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
                 levels, masks, poss, deterministic)

@@ -6,14 +6,15 @@ pytestmark = _pytest.mark.skipif(
     reason="heavy end-to-end compiles; run via scripts/test_cpu.sh - the "
            "remote-TPU tunnel makes each jit minutes-long")
 
-"""TPU-native windowed encoder: window algebra + end-to-end variant."""
+"""TPU-native encoder: window/grid block algebra + end-to-end variant."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from memotr_tpu.models.windowed_encoder import (_window_merge,
-                                                _window_partition,
-                                                WindowedEncoder)
+from memotr_tpu.models.windowed_encoder import (_block_merge,
+                                                _block_partition,
+                                                WindowedEncoder,
+                                                WindowedEncoderLayer)
 from memotr_tpu.models.memotr import MeMOTR
 
 
@@ -21,49 +22,56 @@ def test_partition_merge_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 13, 21, 8)).astype(np.float32))
     mask = jnp.zeros((2, 13, 21), bool)
-    for shift in (0, 4):
-        xw, mw, hw_pad = _window_partition(x, mask, 8, shift)
-        back = _window_merge(xw, hw_pad, 2, 13, 21, 8, shift)
+    for grid in (False, True):
+        xw, mw, hw_pad = _block_partition(x, mask, 8, grid)
+        back = _block_merge(xw, hw_pad, 2, 13, 21, 8, grid)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+
+def test_grid_groups_are_strided_positions():
+    """MaxViT grid mode: one group holds positions (i + a*P, j + b*P)."""
+    h = w = 16
+    win = 4
+    val = jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w, 1)
+    xw, _, _ = _block_partition(val, jnp.zeros((1, h, w), bool), win, True)
+    # group 0 = positions (0 + 4a, 0 + 4b)
+    expected = sorted(float(r * w + c) for r in range(0, h, win)
+                      for c in range(0, w, win))
+    got = sorted(np.asarray(xw)[0, :, 0].tolist())
+    assert got == expected
 
 
 def test_padding_tokens_are_masked():
     x = jnp.ones((1, 10, 10, 8))
     mask = jnp.zeros((1, 10, 10), bool).at[:, 5:, :].set(True)
-    _, mw, _ = _window_partition(x, mask, 8, 0)
-    assert bool(mw.any()) and not bool(mw.all())
+    for grid in (False, True):
+        _, mw, _ = _block_partition(x, mask, 8, grid)
+        assert bool(mw.any()) and not bool(mw.all())
 
 
-def test_shifted_windows_mask_cross_boundary_pairs():
-    """Swin-style mask: after the cyclic roll, tokens wrapped from opposite
-    image edges share a window but must NOT attend to each other.
-
-    Perturbing the token at original position (0, 0) of a 16x16 level with a
-    shifted (shift=4, win=8) layer may only change outputs at original
-    positions [0:4, 0:4] — the other members of its rolled window came from
-    the far edges (rows/cols 12..15) and are masked."""
-    from memotr_tpu.models.windowed_encoder import WindowedEncoderLayer
-
-    layer = WindowedEncoderLayer(d_model=16, d_ffn=32, n_heads=2, window=8,
-                                 shifted=True, dtype=jnp.float32)
+def test_window_plus_grid_pair_is_global():
+    """After one window layer + one grid layer, a perturbation at one corner
+    must reach the opposite corner (deformable attention's global reach is
+    what this pattern replaces)."""
+    layers = [WindowedEncoderLayer(d_model=16, d_ffn=32, n_heads=2, window=4,
+                                   grid=g, dtype=jnp.float32)
+              for g in (False, True)]
     rng = jax.random.PRNGKey(3)
     x = jax.random.normal(rng, (1, 16, 16, 16))
     pos = jax.random.normal(jax.random.fold_in(rng, 1), (1, 16, 16, 16))
     mask = jnp.zeros((1, 16, 16), bool)
-    params = layer.init(rng, [x], [mask], [pos])
+    params = [l.init(rng, [x], [mask], [pos]) for l in layers]
 
-    base = layer.apply(params, [x], [mask], [pos])[0]
-    x2 = x.at[0, 0, 0].add(3.0)
-    pert = layer.apply(params, [x2], [mask], [pos])[0]
-    delta = np.abs(np.asarray(pert - base)).sum(-1)[0]       # (16, 16)
+    def run(inp):
+        lv = [inp]
+        for l, p in zip(layers, params):
+            lv = l.apply(p, lv, [mask], [pos])
+        return lv[0]
 
-    changed = delta > 1e-6
-    allowed = np.zeros((16, 16), bool)
-    allowed[0:4, 0:4] = True
-    assert changed[0, 0], "perturbed token itself must change"
-    leaked = changed & ~allowed
-    assert not leaked.any(), (
-        f"cross-boundary attention leak at {np.argwhere(leaked)[:8]}")
+    base = run(x)
+    pert = run(x.at[0, 0, 0].add(3.0))
+    delta = np.abs(np.asarray(pert - base)).sum(-1)[0]
+    assert delta[15, 15] > 1e-6, "global receptive field broken"
 
 
 def test_encoder_shapes_and_finiteness():
@@ -96,9 +104,9 @@ def test_memotr_with_windowed_encoder():
     out = model.apply(params, imgs, mask, tq, tr, tm)
     assert out["pred_boxes"].shape == (1, 9, 4)
     assert np.all(np.isfinite(np.asarray(out["pred_logits"])))
-    # encoder params are window-attention, not deformable
+    # encoder params are block-attention, not deformable
     enc = params["params"]["transformer"]["encoder"]["layer_0"]
-    assert "win_attn" in enc and "topdown_mix" in enc
+    assert "win_attn" in enc and "topdown_mix" in enc and "lepe_dwconv" in enc
 
 
 def test_gradients_flow_through_windowed():

@@ -114,6 +114,13 @@ def run_variant(root: str, workdir: str, encoder_type: str,
 
     outdir = os.path.join(workdir, encoder_type)
     cfg = base_config(root, outdir, encoder_type, epochs)
+    done = os.path.join(outdir, "val",
+                        f"checkpoint_{epochs - 1}_metrics.json")
+    if os.path.isfile(done):      # variant already trained+scored: reuse
+        with open(done) as f:
+            metrics = json.load(f)
+        return {k: round(float(metrics[k]), 3) for k in
+                ("HOTA", "DetA", "AssA", "MOTA", "IDF1") if k in metrics}
     train(cfg)
     ckpt = f"checkpoint_{epochs - 1}"
     metrics = eval_model(dict(cfg), outdir, ckpt,
