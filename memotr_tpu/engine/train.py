@@ -98,17 +98,38 @@ def train(config: dict):
         dict_to_yaml(config, os.path.join(logger.logdir, "config.yaml"))
     set_seed(config["SEED"], rank=jax.process_index())
 
+    # TOKEN_SHARD_AXIS enables 2-D (data x seq) training: encoder tokens
+    # shard over MESH_SEQ_DEVICES chips per data replica; the model's
+    # with_sharding_constraint resolves the axis via jax.set_mesh, so init
+    # and every step run inside ``under_mesh()``.
+    token_axis = cfg_get(config, "TOKEN_SHARD_AXIS", None)
+    n_seq = int(cfg_get(config, "MESH_SEQ_DEVICES", 1) or 1)
+    if token_axis and n_seq > 1:
+        from ..parallel.mesh import make_mesh_2d
+        n_data = cfg_get(config, "MESH_DEVICES", None) or \
+            (len(jax.devices()) // n_seq)
+        mesh = make_mesh_2d(n_data, n_seq, seq_axis=token_axis)
+    else:
+        mesh = make_mesh(cfg_get(config, "MESH_DEVICES", None))
+
+    def under_mesh():
+        import contextlib
+        return jax.set_mesh(mesh) if token_axis and n_seq > 1 \
+            else contextlib.nullcontext()
+
     model = build_model(config)
     updater = build_query_updater(config)
-    variables, uvars = init_model_params(config, model, updater,
-                                         config["SEED"])
+    with under_mesh():
+        variables, uvars = init_model_params(config, model, updater,
+                                             config["SEED"])
     variables, uvars = load_pretrained(config, variables, uvars, logger)
 
     dataset = build_dataset(config, split="train")
-    mesh = make_mesh(cfg_get(config, "MESH_DEVICES", None))
-    # BATCH_SIZE is per-device (like the reference's per-GPU batch=1,
-    # README.md:104); each host loads BATCH_SIZE * local_device_count clips.
-    n_local = mesh.devices.size // jax.process_count()
+
+    # BATCH_SIZE is per-data-replica (like the reference's per-GPU batch=1,
+    # README.md:104); each host loads BATCH_SIZE * local replica count clips.
+    n_local = (mesh.shape["data"] if "data" in mesh.shape
+               else mesh.devices.size) // jax.process_count()
     world = jax.process_count()
     local_config = dict(config)
     local_config["BATCH_SIZE"] = config["BATCH_SIZE"] * n_local
@@ -125,7 +146,9 @@ def train(config: dict):
     frozen = replicate(mesh, frozen)
 
     accumulation = cfg_get(config, "ACCUMULATION_STEPS", 1)
-    world_size = int(mesh.devices.size)
+    # loss-normalization world = number of DATA replicas (criterion.py:118-136
+    # semantics; seq-parallel chips share one replica's loss)
+    world_size = int(mesh.shape.get("data", mesh.devices.size))
     step_cache = {}
 
     def get_steps(no_grad):
@@ -178,18 +201,19 @@ def train(config: dict):
                                 f"(MAX_GTS too small for this batch)")
             device_batch = shard_batch(mesh, {
                 k: jnp.asarray(v) for k, v in batch.items()})
-            if accumulation == 1:
-                state, logs = steps(state, frozen, device_batch,
-                                    step_rng, lrs)
-            else:
-                # true gradient accumulation (train_engine.py:237-246)
-                grad_step, apply_step = steps
-                grad_accum, logs = grad_step(state.params, frozen,
-                                             device_batch, step_rng,
-                                             grad_accum)
-                if (i + 1) % accumulation == 0:
-                    state = apply_step(state, grad_accum, lrs)
-                    grad_accum = None
+            with under_mesh():
+                if accumulation == 1:
+                    state, logs = steps(state, frozen, device_batch,
+                                        step_rng, lrs)
+                else:
+                    # true gradient accumulation (train_engine.py:237-246)
+                    grad_step, apply_step = steps
+                    grad_accum, logs = grad_step(state.params, frozen,
+                                                 device_batch, step_rng,
+                                                 grad_accum)
+                    if (i + 1) % accumulation == 0:
+                        state = apply_step(state, grad_accum, lrs)
+                        grad_accum = None
             logs = jax.device_get(logs)
             for k, v in logs.items():
                 metric_log.update(k, float(np.asarray(v)))

@@ -66,6 +66,8 @@ class MeMOTR(nn.Module):
     use_checkpoint: bool = False
     msda_impl: str = "auto"
     encoder_type: str = "deformable"   # deformable | windowed (TPU-native)
+    windowed_lepe: bool = True         # windowed-encoder ablation knobs
+    windowed_bottomup: bool = True
     token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
     dtype: Any = jnp.float32
 
@@ -151,6 +153,8 @@ class MeMOTR(nn.Module):
             use_dab=self.use_dab, with_box_refine=self.with_box_refine,
             use_checkpoint=self.use_checkpoint, msda_impl=self.msda_impl,
             encoder_type=self.encoder_type,
+            windowed_lepe=self.windowed_lepe,
+            windowed_bottomup=self.windowed_bottomup,
             token_shard_axis=self.token_shard_axis,
             dtype=self.dtype, name="transformer")(
             srcs, masks, poss, query_embed, ref_pts, query_mask, deterministic)
@@ -195,6 +199,8 @@ def build_model(config: dict) -> MeMOTR:
         use_checkpoint=config.get("USE_CHECKPOINT", False),
         msda_impl=cfg_get(config, "MSDA_IMPL", "auto"),
         encoder_type=cfg_get(config, "ENCODER_TYPE", "deformable"),
+        windowed_lepe=bool(cfg_get(config, "WINDOWED_LEPE", True)),
+        windowed_bottomup=bool(cfg_get(config, "WINDOWED_BOTTOMUP", True)),
         token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),
         dtype=dtype,
     )

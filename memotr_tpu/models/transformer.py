@@ -51,6 +51,8 @@ class DeformableTransformer(nn.Module):
     # "deformable" = reference-faithful MSDA encoder; "windowed" = TPU-native
     # windowed dense attention + cross-level fusion (models/windowed_encoder.py)
     encoder_type: str = "deformable"
+    windowed_lepe: bool = True
+    windowed_bottomup: bool = True
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
     # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
@@ -92,6 +94,8 @@ class DeformableTransformer(nn.Module):
             from .windowed_encoder import WindowedEncoder
             memory = WindowedEncoder(
                 self.n_enc_layers, self.d_model, self.d_ffn, self.n_heads,
+                use_lepe=self.windowed_lepe,
+                use_bottomup=self.windowed_bottomup,
                 dropout=self.dropout, use_checkpoint=self.use_checkpoint,
                 dtype=self.dtype, name="encoder")(
                 src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,

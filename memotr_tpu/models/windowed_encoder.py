@@ -85,6 +85,8 @@ class WindowedEncoderLayer(nn.Module):
     n_heads: int
     window: int = 8
     grid: bool = False            # False: window attention, True: grid attn
+    use_lepe: bool = True         # 3x3 depthwise-conv positional residual
+    use_bottomup: bool = True     # bottom-up cross-level fusion
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -96,7 +98,7 @@ class WindowedEncoderLayer(nn.Module):
                                   dtype=self.dtype, name="win_attn")
         lepe = nn.Conv(self.d_model, (3, 3), padding="SAME",
                        feature_group_count=self.d_model, dtype=self.dtype,
-                       name="lepe_dwconv")
+                       name="lepe_dwconv") if self.use_lepe else None
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
         lin1 = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")
         lin2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
@@ -108,10 +110,11 @@ class WindowedEncoderLayer(nn.Module):
         out = []
         for x, m, pos in zip(levels, masks, poss):
             b, h, w, _ = x.shape
-            # local positional mixing; zero padded pixels so the conv does
-            # not smear padding into the valid region
-            xz = jnp.where(m[..., None], 0.0, x)
-            x = x + lepe(xz)
+            if lepe is not None:
+                # local positional mixing; zero padded pixels so the conv
+                # does not smear padding into the valid region
+                xz = jnp.where(m[..., None], 0.0, x)
+                x = x + lepe(xz)
             q = x + pos.astype(x.dtype)
             qw, mw, hw_pad = _block_partition(q, m, self.window, self.grid)
             xw, _, _ = _block_partition(x, m, self.window, self.grid)
@@ -137,17 +140,20 @@ class WindowedEncoderLayer(nn.Module):
                                   fused[i].shape[:1] + fused[i].shape[1:3]
                                   + fused[i + 1].shape[-1:], method="nearest")
             fused[i] = fused[i] + topdown(up.astype(self.dtype))
-        for i in range(1, len(fused)):                   # bottom-up
-            src = fused[i - 1]
-            th, tw = fused[i].shape[1], fused[i].shape[2]
-            ph = (-src.shape[1]) % (2 * th) if src.shape[1] != 2 * th else 0
-            pw = (-src.shape[2]) % (2 * tw) if src.shape[2] != 2 * tw else 0
-            if ph or pw:
-                src = jnp.pad(src, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            down = src.reshape(src.shape[0], th, src.shape[1] // th,
-                               tw, src.shape[2] // tw, src.shape[-1])
-            down = down.mean(axis=(2, 4))
-            fused[i] = fused[i] + bottomup(down.astype(self.dtype))
+        if self.use_bottomup:
+            for i in range(1, len(fused)):               # bottom-up
+                src = fused[i - 1]
+                th, tw = fused[i].shape[1], fused[i].shape[2]
+                ph = (-src.shape[1]) % (2 * th) \
+                    if src.shape[1] != 2 * th else 0
+                pw = (-src.shape[2]) % (2 * tw) \
+                    if src.shape[2] != 2 * tw else 0
+                if ph or pw:
+                    src = jnp.pad(src, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                down = src.reshape(src.shape[0], th, src.shape[1] // th,
+                                   tw, src.shape[2] // tw, src.shape[-1])
+                down = down.mean(axis=(2, 4))
+                fused[i] = fused[i] + bottomup(down.astype(self.dtype))
         return fused
 
 
@@ -158,6 +164,8 @@ class WindowedEncoder(nn.Module):
     d_ffn: int
     n_heads: int
     window: int = 8
+    use_lepe: bool = True
+    use_bottomup: bool = True
     dropout: float = 0.0
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
@@ -184,6 +192,8 @@ class WindowedEncoder(nn.Module):
         for i in range(self.num_layers):
             levels = layer_cls(self.d_model, self.d_ffn, self.n_heads,
                                self.window, grid=(i % 2 == 1),
+                               use_lepe=self.use_lepe,
+                               use_bottomup=self.use_bottomup,
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
                 levels, masks, poss, deterministic)

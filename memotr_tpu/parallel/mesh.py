@@ -23,6 +23,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(n_data: int, n_seq: int, data_axis: str = "data",
+                 seq_axis: str = "seq") -> Mesh:
+    """2-D mesh: data parallel x sequence parallel (encoder-token sharding
+    via TOKEN_SHARD_AXIS rides the second axis).  Axis order puts ``seq``
+    innermost so its collectives ride the fastest ICI links."""
+    devices = jax.devices()[:n_data * n_seq]
+    return Mesh(np.asarray(devices).reshape(n_data, n_seq),
+                (data_axis, seq_axis))
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     """Shard every leaf's leading (batch) dim across the mesh."""
     def put(x):

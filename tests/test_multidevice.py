@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _setup(world_size: int):
+def _setup(world_size: int, token_axis=None, h=64):
     import __graft_entry__ as ge
     from memotr_tpu.engine.trainer import (group_lrs, init_train_state,
                                            label_tree, make_optimizer,
@@ -42,11 +42,12 @@ def _setup(world_size: int):
 
     config = ge._tiny_config(track_slots=4, max_gts=4)
     config.update({"NUM_ENC_LAYERS": 1, "NUM_DEC_LAYERS": 2,
-                   "NUM_DET_QUERIES": 20, "HIDDEN_DIM": 32, "FFN_DIM": 64})
+                   "NUM_DET_QUERIES": 20, "HIDDEN_DIM": 32, "FFN_DIM": 64,
+                   "TOKEN_SHARD_AXIS": token_axis})
     model = build_model(config)
     updater = build_query_updater(config)
     rng = jax.random.PRNGKey(0)
-    h = w = 64
+    w = h
     st = TrackState.empty(1, 4, 32, 1, use_dab=True)
     variables = model.init(rng, jnp.zeros((1, h, w, 3)),
                            jnp.zeros((1, h, w), bool),
@@ -82,10 +83,10 @@ def _setup(world_size: int):
     return state, frozen, batch, step, lrs
 
 
-def _run(world_size: int):
+def _run(world_size: int, h=64):
     from memotr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
-    state, frozen, batch, step, lrs = _setup(world_size)
+    state, frozen, batch, step, lrs = _setup(world_size, h=h)
     mesh = make_mesh(world_size)
     state = replicate(mesh, state)
     frozen = replicate(mesh, frozen)
@@ -95,6 +96,39 @@ def _run(world_size: int):
     return (jax.device_get(logs),
             np.asarray(jax.device_get(flat[0])),
             np.asarray(jax.device_get(flat[-1])))
+
+
+def _run_2d_seq():
+    """Train step on a (data=1, seq=2) mesh: encoder tokens sharded."""
+    from memotr_tpu.parallel.mesh import make_mesh_2d, replicate, shard_batch
+
+    mesh = make_mesh_2d(1, 2, seq_axis="seq")
+    with jax.set_mesh(mesh):   # with_sharding_constraint needs the mesh
+        # 128px -> 340 encoder tokens, divisible by the 2-way seq axis
+        state, frozen, batch, step, lrs = _setup(2, token_axis="seq",
+                                                 h=128)
+        state = replicate(mesh, state)
+        frozen = replicate(mesh, frozen)
+        batch = shard_batch(mesh, batch)
+        new_state, logs = step(state, frozen, batch, jax.random.PRNGKey(2),
+                               lrs)
+        flat = jax.tree.leaves(new_state.params)
+        return (jax.device_get(logs),
+                np.asarray(jax.device_get(flat[0])),
+                np.asarray(jax.device_get(flat[-1])))
+
+
+def test_seq_sharded_train_step_matches_single_device():
+    """SP row of SURVEY §2.2: a (1 data x 2 seq) mesh with TOKEN_SHARD_AXIS
+    must reproduce single-device training numerics."""
+    logs1, p1a, p1b = _run(1, h=128)
+    logs2, p2a, p2b = _run_2d_seq()
+    np.testing.assert_allclose(logs1["total_loss"], logs2["total_loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(logs1["grad_norm"], logs2["grad_norm"],
+                               rtol=1e-3)
+    np.testing.assert_allclose(p1a, p2a, atol=1e-5)
+    np.testing.assert_allclose(p1b, p2b, atol=1e-5)
 
 
 def test_sharded_train_step_matches_single_device():
