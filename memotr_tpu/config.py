@@ -106,6 +106,9 @@ _DEFAULTS = {
     "MESH_DEVICES": None,        # cap the data-mesh device count (None = all)
     "TOKEN_SHARD_AXIS": None,    # mesh axis for sequence-parallel encoder tokens
     "ENCODER_TYPE": "deformable",  # deformable | windowed (TPU-native)
+    "WINDOWED_LEPE": True,       # windowed-encoder ablation knobs
+    "WINDOWED_BOTTOMUP": True,
+    "WINDOWED_RELPOS": True,     # continuous relative position bias
     "FIXED_TRAIN_CANVAS": None,  # (H, W) pad every train batch to one canvas
 }
 

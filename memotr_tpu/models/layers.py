@@ -70,7 +70,8 @@ class MultiheadAttention(nn.Module):
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True,
-                 attn_mask: Optional[jnp.ndarray] = None):
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 attn_bias: Optional[jnp.ndarray] = None):
         d_model = q.shape[-1]
         assert d_model % self.num_heads == 0
         head_dim = d_model // self.num_heads
@@ -86,6 +87,10 @@ class MultiheadAttention(nn.Module):
         qh, kh, vh = split(q_p), split(k_p), split(v_p)
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
             jnp.asarray(head_dim, jnp.float32)).astype(qh.dtype)
+        if attn_bias is not None:
+            # additive per-head bias (H, Lq, Lk), broadcast over batch —
+            # e.g. the windowed encoder's relative position bias
+            logits = logits + attn_bias[None].astype(logits.dtype)
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)

@@ -68,6 +68,7 @@ class MeMOTR(nn.Module):
     encoder_type: str = "deformable"   # deformable | windowed (TPU-native)
     windowed_lepe: bool = True         # windowed-encoder ablation knobs
     windowed_bottomup: bool = True
+    windowed_relpos: bool = True
     token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
     dtype: Any = jnp.float32
 
@@ -155,6 +156,7 @@ class MeMOTR(nn.Module):
             encoder_type=self.encoder_type,
             windowed_lepe=self.windowed_lepe,
             windowed_bottomup=self.windowed_bottomup,
+            windowed_relpos=self.windowed_relpos,
             token_shard_axis=self.token_shard_axis,
             dtype=self.dtype, name="transformer")(
             srcs, masks, poss, query_embed, ref_pts, query_mask, deterministic)
@@ -201,6 +203,7 @@ def build_model(config: dict) -> MeMOTR:
         encoder_type=cfg_get(config, "ENCODER_TYPE", "deformable"),
         windowed_lepe=bool(cfg_get(config, "WINDOWED_LEPE", True)),
         windowed_bottomup=bool(cfg_get(config, "WINDOWED_BOTTOMUP", True)),
+        windowed_relpos=bool(cfg_get(config, "WINDOWED_RELPOS", True)),
         token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),
         dtype=dtype,
     )

@@ -53,6 +53,7 @@ class DeformableTransformer(nn.Module):
     encoder_type: str = "deformable"
     windowed_lepe: bool = True
     windowed_bottomup: bool = True
+    windowed_relpos: bool = True
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
     # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
@@ -96,6 +97,7 @@ class DeformableTransformer(nn.Module):
                 self.n_enc_layers, self.d_model, self.d_ffn, self.n_heads,
                 use_lepe=self.windowed_lepe,
                 use_bottomup=self.windowed_bottomup,
+                use_relpos=self.windowed_relpos,
                 dropout=self.dropout, use_checkpoint=self.use_checkpoint,
                 dtype=self.dtype, name="encoder")(
                 src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,

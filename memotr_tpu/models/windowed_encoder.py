@@ -66,6 +66,29 @@ def _block_partition(x: jnp.ndarray, mask: jnp.ndarray, win: int,
     return x, m, (hh, ww)
 
 
+def _relpos_table(n_h: int, n_w: int, scale: int) -> Tuple[np.ndarray,
+                                                           np.ndarray]:
+    """Static relative-position geometry for an (n_h, n_w) member grid.
+
+    Returns ``(coords, index)``: ``coords`` is the table of unique relative
+    offsets, shape ((2*n_h-1)*(2*n_w-1), 2), log-scaled to ~[-1, 1]
+    (Swin-v2 continuous-CPB normalization); ``index`` maps each (i, j)
+    member pair to its table row, shape (L, L) with L = n_h*n_w.  ``scale``
+    converts member units to feature-map pixels (1 for window attention,
+    the window size for grid attention, whose members are whole blocks).
+    All computed in numpy at trace time — shapes are static per level.
+    """
+    dy = np.arange(-(n_h - 1), n_h)[:, None] * scale
+    dx = np.arange(-(n_w - 1), n_w)[None, :] * scale
+    coords = np.stack(np.broadcast_arrays(dy, dx), axis=-1).reshape(-1, 2)
+    coords = np.sign(coords) * np.log1p(np.abs(coords)) / np.log1p(1024.0)
+    yy, xx = np.meshgrid(np.arange(n_h), np.arange(n_w), indexing="ij")
+    mem = np.stack([yy.ravel(), xx.ravel()], axis=-1)        # (L, 2)
+    rel = mem[:, None] - mem[None, :]                        # (L, L, 2)
+    index = (rel[..., 0] + n_h - 1) * (2 * n_w - 1) + (rel[..., 1] + n_w - 1)
+    return coords.astype(np.float32), index
+
+
 def _block_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
                  w: int, win: int, grid: bool) -> jnp.ndarray:
     hh, ww = hw_pad
@@ -87,6 +110,8 @@ class WindowedEncoderLayer(nn.Module):
     grid: bool = False            # False: window attention, True: grid attn
     use_lepe: bool = True         # 3x3 depthwise-conv positional residual
     use_bottomup: bool = True     # bottom-up cross-level fusion
+    use_relpos: bool = True       # continuous relative position bias (CPB)
+    relpos_hidden: int = 64
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -96,6 +121,22 @@ class WindowedEncoderLayer(nn.Module):
         """levels: per-level (B, H_l, W_l, C); masks: (B, H_l, W_l) True=pad."""
         attn = MultiheadAttention(self.n_heads, self.dropout,
                                   dtype=self.dtype, name="win_attn")
+        if self.use_relpos:
+            # Swin-v2-style continuous position bias: a small MLP maps
+            # log-scaled relative offsets to per-head biases.  An MLP (not a
+            # table) because grid-attention group shapes vary per level; one
+            # MLP is shared across this layer's levels.
+            cpb1 = nn.Dense(self.relpos_hidden, dtype=jnp.float32,
+                            name="cpb_mlp1")
+            cpb2 = nn.Dense(self.n_heads, use_bias=False, dtype=jnp.float32,
+                            name="cpb_mlp2")
+
+            def relpos_bias(n_h: int, n_w: int, scale: int) -> jnp.ndarray:
+                coords, index = _relpos_table(n_h, n_w, scale)
+                table = cpb2(nn.relu(cpb1(jnp.asarray(coords))))  # (T, H)
+                table = 16.0 * nn.sigmoid(table)
+                bias = table[jnp.asarray(index)]                  # (L, L, H)
+                return bias.transpose(2, 0, 1)                    # (H, L, L)
         lepe = nn.Conv(self.d_model, (3, 3), padding="SAME",
                        feature_group_count=self.d_model, dtype=self.dtype,
                        name="lepe_dwconv") if self.use_lepe else None
@@ -122,8 +163,16 @@ class WindowedEncoderLayer(nn.Module):
             # one dummy key — their outputs are padding and never read
             all_dead = jnp.all(mw, axis=1, keepdims=True)
             mw = jnp.where(all_dead, jnp.zeros_like(mw), mw)
+            bias = None
+            if self.use_relpos:
+                hh, ww = hw_pad
+                if self.grid:
+                    bias = relpos_bias(hh // self.window, ww // self.window,
+                                       self.window)
+                else:
+                    bias = relpos_bias(self.window, self.window, 1)
             aw = attn(qw, qw, xw, key_padding_mask=mw,
-                      deterministic=deterministic)
+                      deterministic=deterministic, attn_bias=bias)
             y = _block_merge(aw, hw_pad, b, h, w, self.window, self.grid)
             x = norm1(x + nn.Dropout(self.dropout,
                                      deterministic=deterministic)(y))
@@ -166,6 +215,7 @@ class WindowedEncoder(nn.Module):
     window: int = 8
     use_lepe: bool = True
     use_bottomup: bool = True
+    use_relpos: bool = True
     dropout: float = 0.0
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
@@ -194,6 +244,7 @@ class WindowedEncoder(nn.Module):
                                self.window, grid=(i % 2 == 1),
                                use_lepe=self.use_lepe,
                                use_bottomup=self.use_bottomup,
+                               use_relpos=self.use_relpos,
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
                 levels, masks, poss, deterministic)

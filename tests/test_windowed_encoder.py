@@ -109,6 +109,55 @@ def test_memotr_with_windowed_encoder():
     assert "win_attn" in enc and "topdown_mix" in enc and "lepe_dwconv" in enc
 
 
+def test_relpos_table_geometry():
+    """CPB geometry: index maps pair (i, j) to the row holding their exact
+    relative offset; scale converts block units to feature-map pixels."""
+    from memotr_tpu.models.windowed_encoder import _relpos_table
+    n_h, n_w, scale = 3, 4, 8
+    coords, index = _relpos_table(n_h, n_w, scale)
+    assert coords.shape == ((2 * n_h - 1) * (2 * n_w - 1), 2)
+    assert index.shape == (n_h * n_w, n_h * n_w)
+    # pair (member (2,3), member (0,0)): offset (2, 3) blocks = (16, 24) px
+    i, j = 2 * n_w + 3, 0
+    expect = np.sign([16, 24]) * np.log1p([16, 24]) / np.log1p(1024.0)
+    np.testing.assert_allclose(coords[index[i, j]], expect, rtol=1e-6)
+    # antisymmetry: offset(j, i) == -offset(i, j)
+    np.testing.assert_allclose(coords[index[j, i]], -coords[index[i, j]],
+                               rtol=1e-6)
+
+
+def test_relpos_bias_changes_output_and_is_trained():
+    """With use_relpos, attention becomes position-dependent: permuting the
+    tokens inside one window no longer merely permutes the outputs."""
+    kw = dict(d_model=16, d_ffn=32, n_heads=2, window=4, grid=False,
+              use_lepe=False, use_bottomup=False, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 4, 4, 16))
+    mask = jnp.zeros((1, 4, 4), bool)
+    pos = jnp.zeros((1, 4, 4, 16))
+
+    def perm_equivariance_gap(use_relpos):
+        layer = WindowedEncoderLayer(use_relpos=use_relpos, **kw)
+        params = layer.init(rng, [x], [mask], [pos])
+        out = layer.apply(params, [x], [mask], [pos])[0]
+        xp = x[:, ::-1]                      # flip rows inside the window
+        outp = layer.apply(params, [xp], [mask], [pos])[0]
+        return float(jnp.abs(outp[:, ::-1] - out).max())
+
+    assert perm_equivariance_gap(False) < 1e-5   # no bias: permutation-equiv
+    assert perm_equivariance_gap(True) > 1e-4    # bias breaks the symmetry
+    # grads reach the CPB MLP
+    layer = WindowedEncoderLayer(use_relpos=True, **kw)
+    params = layer.init(rng, [x], [mask], [pos])
+
+    def loss(p):
+        return jnp.sum(layer.apply(p, [x], [mask], [pos])[0] ** 2)
+
+    g = jax.grad(loss)(params)["params"]
+    gn = float(jnp.abs(g["cpb_mlp1"]["kernel"]).sum())
+    assert np.isfinite(gn) and gn > 0
+
+
 def test_gradients_flow_through_windowed():
     enc = WindowedEncoder(num_layers=1, d_model=16, d_ffn=32, n_heads=2,
                           dtype=jnp.float32)

@@ -106,14 +106,26 @@ def base_config(root: str, outdir: str, encoder_type: str,
     }
 
 
-def run_variant(root: str, workdir: str, encoder_type: str,
-                epochs: int) -> dict:
+# named variants: (encoder_type, config overrides).  The plain pair is the
+# controlled comparison; extra rows probe windowed-encoder scaling (its
+# layers are ~40x cheaper on-chip than exact deformable ones, so a deeper
+# stack is still far below the deformable encoder's wall-clock).
+VARIANTS = {
+    "windowed": ("windowed", {}),
+    "deformable": ("deformable", {}),
+    "windowed_enc6": ("windowed", {"NUM_ENC_LAYERS": 6}),
+}
+
+
+def run_variant(root: str, workdir: str, name: str, epochs: int) -> dict:
     from memotr_tpu.engine.train import train
     from memotr_tpu.engine.eval import eval_model
     from memotr_tpu.log.logger import Logger
 
-    outdir = os.path.join(workdir, encoder_type)
+    encoder_type, overrides = VARIANTS[name]
+    outdir = os.path.join(workdir, name)
     cfg = base_config(root, outdir, encoder_type, epochs)
+    cfg.update(overrides)
     done = os.path.join(outdir, "val",
                         f"checkpoint_{epochs - 1}_metrics.json")
     if os.path.isfile(done):      # variant already trained+scored: reuse
@@ -133,12 +145,14 @@ def run_variant(root: str, workdir: str, encoder_type: str,
 if __name__ == "__main__":
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_eval"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 \
+        else ["windowed", "deformable"]
     root = os.path.join(workdir, "data")
     if not os.path.isdir(os.path.join(root, "DanceTrack", "train")):
         make_synvalue(root, "train", 6, 40, seed=3)
         make_synvalue(root, "val", 3, 40, seed=99)
     results = {}
-    for enc in ("windowed", "deformable"):
+    for enc in names:
         print(f"=== training {enc} ===", flush=True)
         results[enc] = run_variant(root, workdir, enc, epochs)
         print(enc, results[enc], flush=True)
