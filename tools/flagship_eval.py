@@ -8,7 +8,7 @@ multi-object dataset (textured moving squares with crossing paths — both
 detection and association matter), then submits + scores HOTA/DetA/AssA on a
 held-out split through the real engines.
 
-Usage:  python tools/flagship_eval.py [workdir] [epochs]
+Usage:  python tools/flagship_eval.py [workdir] [epochs] [variants] [seed]
 Writes <workdir>/flagship_eval.json and prints a one-line JSON summary.
 """
 from __future__ import annotations
@@ -114,10 +114,12 @@ VARIANTS = {
     "windowed": ("windowed", {}),
     "deformable": ("deformable", {}),
     "windowed_enc6": ("windowed", {"NUM_ENC_LAYERS": 6}),
+    "deformable_enc6": ("deformable", {"NUM_ENC_LAYERS": 6}),
 }
 
 
-def run_variant(root: str, workdir: str, name: str, epochs: int) -> dict:
+def run_variant(root: str, workdir: str, name: str, epochs: int,
+                seed: int = 42) -> dict:
     from memotr_tpu.engine.train import train
     from memotr_tpu.engine.eval import eval_model
     from memotr_tpu.log.logger import Logger
@@ -126,6 +128,7 @@ def run_variant(root: str, workdir: str, name: str, epochs: int) -> dict:
     outdir = os.path.join(workdir, name)
     cfg = base_config(root, outdir, encoder_type, epochs)
     cfg.update(overrides)
+    cfg["SEED"] = seed
     done = os.path.join(outdir, "val",
                         f"checkpoint_{epochs - 1}_metrics.json")
     if os.path.isfile(done):      # variant already trained+scored: reuse
@@ -147,6 +150,7 @@ if __name__ == "__main__":
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     names = sys.argv[3].split(",") if len(sys.argv) > 3 \
         else ["windowed", "deformable"]
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
     root = os.path.join(workdir, "data")
     if not os.path.isdir(os.path.join(root, "DanceTrack", "train")):
         make_synvalue(root, "train", 6, 40, seed=3)
@@ -154,7 +158,7 @@ if __name__ == "__main__":
     results = {}
     for enc in names:
         print(f"=== training {enc} ===", flush=True)
-        results[enc] = run_variant(root, workdir, enc, epochs)
+        results[enc] = run_variant(root, workdir, enc, epochs, seed)
         print(enc, results[enc], flush=True)
     with open(os.path.join(workdir, "flagship_eval.json"), "w") as f:
         json.dump(results, f, indent=1)
