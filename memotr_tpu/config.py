@@ -109,6 +109,7 @@ _DEFAULTS = {
     "WINDOWED_LEPE": True,       # windowed-encoder ablation knobs
     "WINDOWED_BOTTOMUP": True,
     "WINDOWED_RELPOS": True,     # continuous relative position bias
+    "WINDOW_SIZE": 8,            # window/grid block size (windowed encoder)
     "FIXED_TRAIN_CANVAS": None,  # (H, W) pad every train batch to one canvas
 }
 

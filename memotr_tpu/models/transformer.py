@@ -54,6 +54,7 @@ class DeformableTransformer(nn.Module):
     windowed_lepe: bool = True
     windowed_bottomup: bool = True
     windowed_relpos: bool = True
+    windowed_window: int = 8
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
     # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
@@ -95,6 +96,7 @@ class DeformableTransformer(nn.Module):
             from .windowed_encoder import WindowedEncoder
             memory = WindowedEncoder(
                 self.n_enc_layers, self.d_model, self.d_ffn, self.n_heads,
+                window=self.windowed_window,
                 use_lepe=self.windowed_lepe,
                 use_bottomup=self.windowed_bottomup,
                 use_relpos=self.windowed_relpos,

@@ -109,6 +109,23 @@ def test_memotr_with_windowed_encoder():
     assert "win_attn" in enc and "topdown_mix" in enc and "lepe_dwconv" in enc
 
 
+def test_non_default_window_size():
+    """WINDOW_SIZE knob: non-multiple maps are padded+masked; output shape
+    and finiteness hold for window=6 on levels that don't divide evenly."""
+    shapes = ((16, 20), (8, 10), (4, 5), (2, 3))
+    s_total = sum(h * w for h, w in shapes)
+    rng = jax.random.PRNGKey(0)
+    src = jax.random.normal(rng, (1, s_total, 32))
+    pos = jax.random.normal(jax.random.fold_in(rng, 1), (1, s_total, 32))
+    mask = jnp.zeros((1, s_total), bool)
+    enc = WindowedEncoder(num_layers=2, d_model=32, d_ffn=64, n_heads=4,
+                          window=6, dtype=jnp.float32)
+    params = enc.init(rng, src, shapes, None, pos, mask)
+    out = enc.apply(params, src, shapes, None, pos, mask)
+    assert out.shape == (1, s_total, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_relpos_table_geometry():
     """CPB geometry: index maps pair (i, j) to the row holding their exact
     relative offset; scale converts block units to feature-map pixels."""

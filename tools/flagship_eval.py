@@ -115,6 +115,8 @@ VARIANTS = {
     "deformable": ("deformable", {}),
     "windowed_enc6": ("windowed", {"NUM_ENC_LAYERS": 6}),
     "deformable_enc6": ("deformable", {"NUM_ENC_LAYERS": 6}),
+    "windowed_enc4": ("windowed", {"NUM_ENC_LAYERS": 4}),
+    "windowed_win12": ("windowed", {"WINDOW_SIZE": 12}),
 }
 
 
