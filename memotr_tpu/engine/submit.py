@@ -40,7 +40,7 @@ BDD_LABEL_NAMES = {
 
 
 def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
-                      area_thresh: float = 100.0):
+                      area_thresh: float = 100.0, lane: int = 0):
     """Slot results -> pixel-space detections for the writers.
 
     Predictions are normalized to the valid (unpadded) region — the
@@ -48,19 +48,20 @@ def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
     the original frame dims directly (submit_engine.py:89-98).  Returns
     (keep indices, x1, y1, w, h, ids, labels) in original pixels; ``keep``
     applies the score and the >100 px^2 area filters
-    (submit_engine.py:122-131).
+    (submit_engine.py:122-131).  ``lane`` selects the batch item (the
+    batched-serving path streams one sequence per lane).
     """
     import numpy as np
     ori_h, ori_w = ori_hw
-    keep = results["mask"][0] & (results["scores"][0] > result_thresh)
-    boxes = results["boxes"][0]
+    keep = results["mask"][lane] & (results["scores"][lane] > result_thresh)
+    boxes = results["boxes"][lane]
     cx = boxes[:, 0] * ori_w
     cy = boxes[:, 1] * ori_h
     w = boxes[:, 2] * ori_w
     h = boxes[:, 3] * ori_h
     keep = keep & (w * h > area_thresh)
     return (np.nonzero(keep)[0], cx - w / 2, cy - h / 2, w, h,
-            results["ids"][0], results["labels"][0])
+            results["ids"][lane], results["labels"][lane])
 
 
 def make_eval_step(model, updater, n_det: int, det_thresh: float,
@@ -248,6 +249,128 @@ class Submitter:
         return state
 
 
+class BatchedSubmitter:
+    """Lockstep streaming over B sequences in ONE compiled step — a
+    TPU-native serving mode with no reference counterpart (the reference
+    parallelizes sequences across processes, submit_engine.py:225-231; here
+    one chip amortizes its fixed per-step cost over B batch lanes).
+
+    Every op in the streaming step (forward, lifecycle, query updater, id
+    assignment) is batch-pointwise, so each lane tracks its sequence exactly
+    as the B=1 path does (asserted in tests/test_submit_batched.py).
+    Sequences must share a padded canvas — the caller groups them by
+    orientation.  Lanes whose sequence has ended are fed their last frame
+    again (keeping shapes static and masks non-degenerate) and their outputs
+    dropped.
+    """
+
+    def __init__(self, dataset_name: str, datasets: List[SeqDataset],
+                 seq_names: List[str], outputs_dir: str, model, updater,
+                 params, uparams, config: dict):
+        assert len(datasets) == len(seq_names) and datasets
+        canvases = {ds.padded_canvas() for ds in datasets}
+        assert len(canvases) == 1, \
+            f"batch lanes must share a canvas, got {canvases}"
+        self.dataset_name = dataset_name
+        self.datasets = datasets
+        self.seq_names = list(seq_names)
+        self.predict_dir = os.path.join(outputs_dir, "tracker")
+        os.makedirs(self.predict_dir, exist_ok=True)
+        self.model, self.updater = model, updater
+        self.params, self.uparams = params, uparams
+        self.result_thresh = config["RESULT_SCORE_THRESH"]
+        self.miss_tolerance = config["MISS_TOLERANCE"]
+        self.track_slots = cfg_get(config, "TRACK_SLOTS", 64)
+        self.hidden_dim = config["HIDDEN_DIM"]
+        self.use_dab = cfg_get(config, "USE_DAB", True)
+        self.area_thresh = 100
+        self.step = make_eval_step(model, updater, model.n_det_queries,
+                                   config["DET_SCORE_THRESH"],
+                                   config["TRACK_SCORE_THRESH"],
+                                   self.miss_tolerance)
+
+    def _prefetch(self, lens: List[int]):
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+        def worker():
+            for i in range(max(lens)):
+                items = [ds[min(i, n - 1)]
+                         for ds, n in zip(self.datasets, lens)]
+                q.put((np.stack([it["image"] for it in items]),
+                       np.stack([it["mask"] for it in items]),
+                       [it["ori_hw"] for it in items],
+                       [it["path"] for it in items]))
+            q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    def run(self):
+        """Returns (model-step seconds, total frames processed)."""
+        import time
+        b = len(self.datasets)
+        lens = [len(ds) for ds in self.datasets]
+        state = TrackState.empty(b, self.track_slots, self.hidden_dim,
+                                 self.model.num_classes, use_dab=self.use_dab)
+        txt_lines: List[List[str]] = [[] for _ in range(b)]
+        bdd_results: List[List[Dict]] = [[] for _ in range(b)]
+        device_time = 0.0
+        overflow_total = 0
+        for i, (images, mask, ori_hws, paths) in enumerate(
+                self._prefetch(lens)):
+            t0 = time.time()
+            results, state = self.step(self.params, self.uparams,
+                                       jnp.asarray(images), jnp.asarray(mask),
+                                       state)
+            results = jax.device_get(results)
+            device_time += time.time() - t0
+            overflow_total += int(np.sum(results.pop("slot_overflow")))
+            for lane in range(b):
+                if i >= lens[lane]:        # this lane's sequence has ended
+                    continue
+                keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
+                    results, ori_hws[lane], self.result_thresh,
+                    self.area_thresh, lane=lane)
+                if self.dataset_name == "BDD100K":
+                    img_name = os.path.basename(paths[lane])
+                    frame_result = {
+                        "name": img_name, "videoName": img_name[:-12],
+                        "frameIndex": i, "labels": []}
+                    for j in keep_idx:
+                        frame_result["labels"].append({
+                            "id": str(int(ids[j])),
+                            "category": BDD_LABEL_NAMES[int(labels[j])],
+                            "box2d": {
+                                "x1": float(x1[j]), "y1": float(y1[j]),
+                                "x2": float(x1[j] + w[j]),
+                                "y2": float(y1[j] + h[j])}})
+                    bdd_results[lane].append(frame_result)
+                else:
+                    for j in keep_idx:
+                        txt_lines[lane].append(
+                            f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
+                            f"{w[j]},{h[j]},1,-1,-1,-1\n")
+        for lane, name in enumerate(self.seq_names):
+            if self.dataset_name == "BDD100K":
+                with open(os.path.join(self.predict_dir,
+                                       f"{name}.json"), "w") as f:
+                    json.dump(bdd_results[lane], f)
+            else:
+                with open(os.path.join(self.predict_dir,
+                                       f"{name}.txt"), "w") as f:
+                    f.write("".join(txt_lines[lane]))
+        if overflow_total:
+            print(f"[submit batch {self.seq_names}] WARNING: "
+                  f"{overflow_total} newborn tracks dropped (all "
+                  f"{self.track_slots} slots full) — raise TRACK_SLOTS",
+                  flush=True)
+        return device_time, sum(lens)
+
+
 def submit(config: dict):
     """Submit entry (submit_engine.py:187-252)."""
     logger = Logger(logdir=os.path.join(config["SUBMIT_DIR"],
@@ -284,6 +407,28 @@ def submit(config: dict):
     seq_names = seq_names[jax.process_index()::jax.process_count()]
 
     outputs_dir = os.path.join(config["SUBMIT_DIR"], split)
+    batch = int(cfg_get(config, "SUBMIT_BATCH", 1) or 1)
+    if batch > 1 and not config.get("VISUALIZE") \
+            and not config.get("USE_MOTION"):
+        # serving mode: group sequences by canvas orientation, stream up to
+        # `batch` of them per compiled step (one TrackState lane each)
+        h = cfg_get(config, "EVAL_SHORT_SIDE", 800)
+        w = cfg_get(config, "EVAL_MAX_SIDE", 1536)
+        groups: Dict[tuple, List[tuple]] = {}
+        for seq in seq_names:
+            ds = SeqDataset(os.path.join(split_dir, seq), image_height=h,
+                            image_width=w)
+            groups.setdefault(ds.padded_canvas(), []).append((seq, ds))
+        for canvas, members in groups.items():
+            for i in range(0, len(members), batch):
+                chunk = members[i:i + batch]
+                names = [m[0] for m in chunk]
+                logger.show(head=f"Submitting batch {names} "
+                                 f"(canvas {canvas})")
+                BatchedSubmitter(dataset_name, [m[1] for m in chunk], names,
+                                 outputs_dir, model, updater, params,
+                                 uparams, config).run()
+        return
     for seq in seq_names:
         logger.show(head=f"Submitting {seq}")
         Submitter(dataset_name, os.path.join(split_dir, seq), seq,
