@@ -3,7 +3,8 @@
 # remote-TPU sitecustomize that this container pins JAX to.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+if [ "$#" -eq 0 ]; then set -- -x -q; fi
 PYTHONPATH= JAX_PLATFORMS=cpu \
   XLA_FLAGS="--xla_force_host_platform_device_count=8" \
   MEMOTR_TEST_REEXEC=1 \
-  python -m pytest tests/ "${@:--x -q}"
+  python -m pytest tests/ "$@"
