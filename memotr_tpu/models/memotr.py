@@ -70,6 +70,7 @@ class MeMOTR(nn.Module):
     windowed_bottomup: bool = True
     windowed_relpos: bool = True
     windowed_window: int = 8
+    windowed_prenorm: bool = False
     token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
     dtype: Any = jnp.float32
 
@@ -159,6 +160,7 @@ class MeMOTR(nn.Module):
             windowed_bottomup=self.windowed_bottomup,
             windowed_relpos=self.windowed_relpos,
             windowed_window=self.windowed_window,
+            windowed_prenorm=self.windowed_prenorm,
             token_shard_axis=self.token_shard_axis,
             dtype=self.dtype, name="transformer")(
             srcs, masks, poss, query_embed, ref_pts, query_mask, deterministic)
@@ -207,6 +209,7 @@ def build_model(config: dict) -> MeMOTR:
         windowed_bottomup=bool(cfg_get(config, "WINDOWED_BOTTOMUP", True)),
         windowed_relpos=bool(cfg_get(config, "WINDOWED_RELPOS", True)),
         windowed_window=int(cfg_get(config, "WINDOW_SIZE", 8)),
+        windowed_prenorm=bool(cfg_get(config, "WINDOWED_PRENORM", False)),
         token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),
         dtype=dtype,
     )

@@ -55,6 +55,7 @@ class DeformableTransformer(nn.Module):
     windowed_bottomup: bool = True
     windowed_relpos: bool = True
     windowed_window: int = 8
+    windowed_prenorm: bool = False
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
     # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
@@ -100,6 +101,7 @@ class DeformableTransformer(nn.Module):
                 use_lepe=self.windowed_lepe,
                 use_bottomup=self.windowed_bottomup,
                 use_relpos=self.windowed_relpos,
+                prenorm=self.windowed_prenorm,
                 dropout=self.dropout, use_checkpoint=self.use_checkpoint,
                 dtype=self.dtype, name="encoder")(
                 src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,

@@ -112,6 +112,9 @@ class WindowedEncoderLayer(nn.Module):
     use_bottomup: bool = True     # bottom-up cross-level fusion
     use_relpos: bool = True       # continuous relative position bias (CPB)
     relpos_hidden: int = 64
+    prenorm: bool = False         # pre-norm residual blocks (stabler deep
+    #                               stacks; post-norm mirrors the reference
+    #                               encoder layer, deformable_encoder.py:63)
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -156,9 +159,10 @@ class WindowedEncoderLayer(nn.Module):
                 # does not smear padding into the valid region
                 xz = jnp.where(m[..., None], 0.0, x)
                 x = x + lepe(xz)
-            q = x + pos.astype(x.dtype)
+            xa = norm1(x).astype(x.dtype) if self.prenorm else x
+            q = xa + pos.astype(x.dtype)
             qw, mw, hw_pad = _block_partition(q, m, self.window, self.grid)
-            xw, _, _ = _block_partition(x, m, self.window, self.grid)
+            xw, _, _ = _block_partition(xa, m, self.window, self.grid)
             # fully-masked groups (all padding) would NaN the softmax; open
             # one dummy key — their outputs are padding and never read
             all_dead = jnp.all(mw, axis=1, keepdims=True)
@@ -174,12 +178,15 @@ class WindowedEncoderLayer(nn.Module):
             aw = attn(qw, qw, xw, key_padding_mask=mw,
                       deterministic=deterministic, attn_bias=bias)
             y = _block_merge(aw, hw_pad, b, h, w, self.window, self.grid)
-            x = norm1(x + nn.Dropout(self.dropout,
-                                     deterministic=deterministic)(y))
-            f = lin2(nn.Dropout(self.dropout, deterministic=deterministic)(
-                nn.relu(lin1(x))))
-            x = norm2(x + nn.Dropout(self.dropout,
-                                     deterministic=deterministic)(f))
+            drop = nn.Dropout(self.dropout, deterministic=deterministic)
+            if self.prenorm:
+                x = x + drop(y)
+                f = lin2(drop(nn.relu(lin1(norm2(x).astype(x.dtype)))))
+                x = x + drop(f)
+            else:
+                x = norm1(x + drop(y))
+                f = lin2(drop(nn.relu(lin1(x))))
+                x = norm2(x + drop(f))
             out.append(x)
 
         # bidirectional cross-level fusion
@@ -216,6 +223,7 @@ class WindowedEncoder(nn.Module):
     use_lepe: bool = True
     use_bottomup: bool = True
     use_relpos: bool = True
+    prenorm: bool = False
     dropout: float = 0.0
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
@@ -245,8 +253,13 @@ class WindowedEncoder(nn.Module):
                                use_lepe=self.use_lepe,
                                use_bottomup=self.use_bottomup,
                                use_relpos=self.use_relpos,
+                               prenorm=self.prenorm,
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
                 levels, masks, poss, deterministic)
+        if self.prenorm:
+            final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                 name="final_norm")
+            levels = [final(lv).astype(lv.dtype) for lv in levels]
         return jnp.concatenate(
             [lv.reshape(b, -1, c) for lv in levels], axis=1)

@@ -126,6 +126,35 @@ def test_non_default_window_size():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_prenorm_variant():
+    """WINDOWED_PRENORM: pre-norm blocks + final stack norm — output is
+    finite, differs from post-norm, and gradients flow to every param."""
+    shapes = ((16, 24), (8, 12), (4, 6), (2, 3))
+    s_total = sum(h * w for h, w in shapes)
+    rng = jax.random.PRNGKey(0)
+    src = jax.random.normal(rng, (1, s_total, 32))
+    pos = jax.random.normal(jax.random.fold_in(rng, 1), (1, s_total, 32))
+    mask = jnp.zeros((1, s_total), bool)
+    enc = WindowedEncoder(num_layers=2, d_model=32, d_ffn=64, n_heads=4,
+                          prenorm=True, dtype=jnp.float32)
+    params = enc.init(rng, src, shapes, None, pos, mask)
+    assert "final_norm" in params["params"]
+    out = enc.apply(params, src, shapes, None, pos, mask)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    post = WindowedEncoder(num_layers=2, d_model=32, d_ffn=64, n_heads=4,
+                           prenorm=False, dtype=jnp.float32)
+    out_post = post.apply(post.init(rng, src, shapes, None, pos, mask),
+                          src, shapes, None, pos, mask)
+    assert np.abs(np.asarray(out - out_post)).max() > 1e-3
+
+    grads = jax.grad(lambda p: enc.apply(p, src, shapes, None, pos,
+                                         mask).sum())(params)
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    for path, g in leaves:
+        assert np.any(np.asarray(g) != 0), jax.tree_util.keystr(path)
+
+
 def test_relpos_table_geometry():
     """CPB geometry: index maps pair (i, j) to the row holding their exact
     relative offset; scale converts block units to feature-map pixels."""
