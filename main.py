@@ -26,7 +26,9 @@ def parse_option():
                  "eval-threads", "det-score-thresh", "track-score-thresh",
                  "result-score-thresh", "miss-tolerance", "use-motion",
                  "track-slots", "max-gts", "dtype", "msda-impl",
-                 "num-workers", "accumulation-steps", "dataset"]:
+                 "num-workers", "accumulation-steps", "dataset",
+                 "encoder-type", "window-size", "submit-batch",
+                 "mesh-devices"]:
         p.add_argument(f"--{flag}", type=str, default=None)
     p.add_argument("--multi-host", action="store_true",
                    help="initialize jax.distributed for multi-host runs")

@@ -60,9 +60,10 @@ def update_config(config: dict, options: dict) -> dict:
     """Overlay CLI ``options`` onto a YAML ``config``; CLI wins.
 
     Options with value ``None`` are skipped (flag not provided).  An option
-    key that does not exist in the YAML raises ``KeyError``; a key that is
-    ambiguous (appears more than once in a nested config) raises
-    ``ValueError``.
+    key that does not exist in the YAML raises ``KeyError`` — unless it is a
+    known TPU-native key (``_DEFAULTS``), which older experiment yamls may
+    omit; those overlay at the top level.  A key that is ambiguous (appears
+    more than once in a nested config) raises ``ValueError``.
     """
     config = copy.deepcopy(config)
     for key, value in options.items():
@@ -70,6 +71,9 @@ def update_config(config: dict, options: dict) -> dict:
             continue
         key = key.upper().replace("-", "_")
         n = _key_occurrences(config, key)
+        if n == 0 and key in _DEFAULTS:
+            config[key] = value
+            continue
         if n == 0:
             raise KeyError(f"CLI option '{key}' does not match any config key.")
         if n > 1:

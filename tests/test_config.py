@@ -32,3 +32,14 @@ def test_defaults():
     assert cfg_get({"MERGE_DET_TRACK_LAYER": 1}, "MERGE_DET_TRACK_LAYER") == 1
     assert num_classes_for_dataset("BDD100K") == 8
     assert num_classes_for_dataset("DanceTrack") == 1
+
+
+def test_tpu_native_key_overlay_without_yaml_entry():
+    """CLI flags for known TPU-native keys (``_DEFAULTS``) overlay even when
+    the experiment yaml omits them; unknown keys still error."""
+    out = update_config({"LR": 1.0}, {"submit-batch": 8,
+                                      "encoder-type": "windowed"})
+    assert out["SUBMIT_BATCH"] == 8
+    assert out["ENCODER_TYPE"] == "windowed"
+    with pytest.raises(KeyError):
+        update_config({"LR": 1.0}, {"not-a-key": 1})
