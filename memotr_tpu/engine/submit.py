@@ -288,6 +288,16 @@ class BatchedSubmitter:
                                    config["DET_SCORE_THRESH"],
                                    config["TRACK_SCORE_THRESH"],
                                    self.miss_tolerance)
+        # multi-chip serving: lanes shard across a data mesh when they
+        # divide the device count — each chip streams B/n lanes, the same
+        # compiled program (the whole step is batch-pointwise, so GSPMD
+        # partitions it without collectives)
+        self.mesh = None
+        n_dev = cfg_get(config, "MESH_DEVICES", None) or len(jax.devices())
+        n_dev = min(int(n_dev), len(jax.devices()))
+        if n_dev > 1 and len(datasets) % n_dev == 0:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(n_dev)
 
     def _prefetch(self, lens: List[int]):
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
@@ -316,6 +326,15 @@ class BatchedSubmitter:
         lens = [len(ds) for ds in self.datasets]
         state = TrackState.empty(b, self.track_slots, self.hidden_dim,
                                  self.model.num_classes, use_dab=self.use_dab)
+        params, uparams = self.params, self.uparams
+        put = jnp.asarray
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicate, shard_batch
+            state = shard_batch(self.mesh, state)
+            params = replicate(self.mesh, params)
+            uparams = replicate(self.mesh, uparams)
+            sh = batch_sharding(self.mesh)
+            put = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
         txt_lines: List[List[str]] = [[] for _ in range(b)]
         bdd_results: List[List[Dict]] = [[] for _ in range(b)]
         device_time = 0.0
@@ -323,9 +342,8 @@ class BatchedSubmitter:
         for i, (images, mask, ori_hws, paths) in enumerate(
                 self._prefetch(lens)):
             t0 = time.time()
-            results, state = self.step(self.params, self.uparams,
-                                       jnp.asarray(images), jnp.asarray(mask),
-                                       state)
+            results, state = self.step(params, uparams, put(images),
+                                       put(mask), state)
             results = jax.device_get(results)
             device_time += time.time() - t0
             overflow_total += int(np.sum(results.pop("slot_overflow")))

@@ -99,3 +99,20 @@ def test_batched_matches_sequential(tmp_path):
     # lane b must not contain frames past its 3-frame sequence
     got_b = _parse(os.path.join(bat_out, "tracker", "seq_b.txt"))
     assert max(r[0] for r in got_b) <= 3
+
+    # --- lanes sharded across a 2-device mesh == single-device batched ---
+    if len(jax.devices()) >= 2:
+        mesh_out = str(tmp_path / "mesh_out")
+        sub = BatchedSubmitter(
+            "DanceTrack", datasets, ["seq_a", "seq_b"], mesh_out, model,
+            updater, params, uparams, {**cfg, "MESH_DEVICES": 2})
+        assert sub.mesh is not None
+        sub.run()
+        for name in ("seq_a", "seq_b"):
+            ref = _parse(os.path.join(bat_out, "tracker", f"{name}.txt"))
+            got = _parse(os.path.join(mesh_out, "tracker", f"{name}.txt"))
+            assert len(ref) == len(got)
+            for r, g in zip(ref, got):
+                assert r[:2] == g[:2]
+                np.testing.assert_allclose(r[2:], g[2:], atol=1e-2,
+                                           err_msg=name)
