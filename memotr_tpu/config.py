@@ -115,6 +115,7 @@ _DEFAULTS = {
     "WINDOWED_RELPOS": True,     # continuous relative position bias
     "WINDOW_SIZE": 8,            # window/grid block size (windowed encoder)
     "WINDOWED_PRENORM": False,   # pre-norm residual blocks (deep stacks)
+    "WARMUP_ITERS": 0,           # linear LR warmup iterations (0 = off)
     "SUBMIT_BATCH": 1,           # serving mode: sequences streamed per step
     "FIXED_TRAIN_CANVAS": None,  # (H, W) pad every train batch to one canvas
 }

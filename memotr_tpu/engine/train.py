@@ -31,7 +31,7 @@ from ..structures.track_state import TrackState
 from ..utils.misc import set_seed
 from .trainer import (TrainState, group_lrs, init_train_state, label_tree,
                       make_accum_steps, make_optimizer, make_train_step,
-                      no_grad_frames_for_epoch, static_config)
+                      no_grad_frames_for_epoch, static_config, warmup_scale)
 
 
 def init_model_params(config: dict, model, updater, seed: int = 0):
@@ -190,8 +190,15 @@ def train(config: dict):
         metric_log = MetricLog()
         epoch_t0 = time.time()
         grad_accum = None
+        warmup = int(cfg_get(config, "WARMUP_ITERS", 0) or 0)
         for i, batch in enumerate(dataloader):
             it_t0 = time.time()
+            if warmup and states["global_iters"] <= warmup:
+                # LR is a runtime scalar, so per-iter warmup does not retrace
+                w = warmup_scale(states["global_iters"], warmup)
+                lrs = {k: jnp.asarray(float(v) * (w if k != "frozen" else 0.0),
+                                      jnp.float32)
+                       for k, v in group_lrs(config, epoch).items()}
             rng, step_rng = jax.random.split(rng)
             gt_dropped = int(batch.pop("gt_dropped", 0))
             if gt_dropped:

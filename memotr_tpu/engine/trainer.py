@@ -84,6 +84,15 @@ def lr_schedule_factory(config: dict):
     return schedule
 
 
+def warmup_scale(global_iter: int, warmup_iters: int) -> float:
+    """Linear LR warmup multiplier (TPU-native knob, WARMUP_ITERS; the
+    reference schedule has none).  1.0 once ``global_iter >= warmup_iters``
+    or when warmup is off."""
+    if warmup_iters <= 0 or global_iter >= warmup_iters:
+        return 1.0
+    return (global_iter + 1) / warmup_iters
+
+
 def group_lrs(config: dict, epoch: int) -> Dict[str, float]:
     """Resolved per-group LR for this epoch, including the updater-only
     freeze (train_engine.py:104-107)."""

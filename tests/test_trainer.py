@@ -131,3 +131,13 @@ def test_no_grad_frames_schedule():
     assert no_grad_frames_for_epoch(cfg, 5) is None
     assert no_grad_frames_for_epoch({"NO_GRAD_FRAMES": 2}, 0) == 2
     assert no_grad_frames_for_epoch({}, 0) is None
+
+
+def test_warmup_scale():
+    from memotr_tpu.engine.trainer import warmup_scale
+    assert warmup_scale(0, 0) == 1.0                       # off
+    assert warmup_scale(0, 4) == 0.25                      # linear ramp
+    assert warmup_scale(3, 4) == 1.0
+    assert warmup_scale(100, 4) == 1.0
+    ramp = [warmup_scale(i, 10) for i in range(12)]
+    assert ramp == sorted(ramp) and ramp[-1] == 1.0
