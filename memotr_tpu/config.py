@@ -109,7 +109,7 @@ _DEFAULTS = {
     "MSDA_IMPL": "auto",         # auto | pallas | xla
     "MESH_DEVICES": None,        # cap the data-mesh device count (None = all)
     "TOKEN_SHARD_AXIS": None,    # mesh axis for sequence-parallel encoder tokens
-    "ENCODER_TYPE": "deformable",  # deformable | windowed (TPU-native)
+    "ENCODER_TYPE": "deformable",  # deformable | windowed | conv (TPU-native)
     "WINDOWED_LEPE": True,       # windowed-encoder ablation knobs
     "WINDOWED_BOTTOMUP": True,
     "WINDOWED_RELPOS": True,     # continuous relative position bias

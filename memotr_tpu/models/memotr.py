@@ -65,7 +65,7 @@ class MeMOTR(nn.Module):
     with_box_refine: bool = True
     use_checkpoint: bool = False
     msda_impl: str = "auto"
-    encoder_type: str = "deformable"   # deformable | windowed (TPU-native)
+    encoder_type: str = "deformable"   # deformable | windowed | conv
     windowed_lepe: bool = True         # windowed-encoder ablation knobs
     windowed_bottomup: bool = True
     windowed_relpos: bool = True

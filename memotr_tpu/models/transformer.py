@@ -93,7 +93,16 @@ class DeformableTransformer(nn.Module):
             src_flat = jax.lax.with_sharding_constraint(src_flat, spec)
             pos_flat = jax.lax.with_sharding_constraint(pos_flat, spec)
 
-        if self.encoder_type == "windowed":
+        if self.encoder_type == "conv":
+            from .conv_encoder import ConvEncoder
+            memory = ConvEncoder(
+                self.n_enc_layers, self.d_model, self.d_ffn,
+                use_bottomup=self.windowed_bottomup,
+                dropout=self.dropout, use_checkpoint=self.use_checkpoint,
+                dtype=self.dtype, name="encoder")(
+                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                deterministic)
+        elif self.encoder_type == "windowed":
             from .windowed_encoder import WindowedEncoder
             memory = WindowedEncoder(
                 self.n_enc_layers, self.d_model, self.d_ffn, self.n_heads,

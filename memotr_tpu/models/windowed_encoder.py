@@ -102,6 +102,33 @@ def _block_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
     return x[:, :h, :w]
 
 
+def cross_level_fuse(out: List[jnp.ndarray], topdown, bottomup,
+                     dtype) -> List[jnp.ndarray]:
+    """Bidirectional cross-level fusion: top-down (nearest-upsampled coarser
+    level, mixed and added) then optional bottom-up (2x2-avg-pooled finer
+    level) — the cross-scale exchange the reference encoder gets from
+    multi-level deformable sampling (ms_deform_attn.py:108-120)."""
+    fused = list(out)
+    for i in range(len(fused) - 2, -1, -1):          # top-down
+        up = jax.image.resize(fused[i + 1],
+                              fused[i].shape[:1] + fused[i].shape[1:3]
+                              + fused[i + 1].shape[-1:], method="nearest")
+        fused[i] = fused[i] + topdown(up.astype(dtype))
+    if bottomup is not None:
+        for i in range(1, len(fused)):               # bottom-up
+            src = fused[i - 1]
+            th, tw = fused[i].shape[1], fused[i].shape[2]
+            ph = (-src.shape[1]) % (2 * th) if src.shape[1] != 2 * th else 0
+            pw = (-src.shape[2]) % (2 * tw) if src.shape[2] != 2 * tw else 0
+            if ph or pw:
+                src = jnp.pad(src, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            down = src.reshape(src.shape[0], th, src.shape[1] // th,
+                               tw, src.shape[2] // tw, src.shape[-1])
+            down = down.mean(axis=(2, 4))
+            fused[i] = fused[i] + bottomup(down.astype(dtype))
+    return fused
+
+
 class WindowedEncoderLayer(nn.Module):
     d_model: int
     d_ffn: int
@@ -189,28 +216,9 @@ class WindowedEncoderLayer(nn.Module):
                 x = norm2(x + drop(f))
             out.append(x)
 
-        # bidirectional cross-level fusion
-        fused = list(out)
-        for i in range(len(fused) - 2, -1, -1):          # top-down
-            up = jax.image.resize(fused[i + 1],
-                                  fused[i].shape[:1] + fused[i].shape[1:3]
-                                  + fused[i + 1].shape[-1:], method="nearest")
-            fused[i] = fused[i] + topdown(up.astype(self.dtype))
-        if self.use_bottomup:
-            for i in range(1, len(fused)):               # bottom-up
-                src = fused[i - 1]
-                th, tw = fused[i].shape[1], fused[i].shape[2]
-                ph = (-src.shape[1]) % (2 * th) \
-                    if src.shape[1] != 2 * th else 0
-                pw = (-src.shape[2]) % (2 * tw) \
-                    if src.shape[2] != 2 * tw else 0
-                if ph or pw:
-                    src = jnp.pad(src, ((0, 0), (0, ph), (0, pw), (0, 0)))
-                down = src.reshape(src.shape[0], th, src.shape[1] // th,
-                                   tw, src.shape[2] // tw, src.shape[-1])
-                down = down.mean(axis=(2, 4))
-                fused[i] = fused[i] + bottomup(down.astype(self.dtype))
-        return fused
+        return cross_level_fuse(out, topdown,
+                                bottomup if self.use_bottomup else None,
+                                self.dtype)
 
 
 class WindowedEncoder(nn.Module):

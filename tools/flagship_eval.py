@@ -117,6 +117,8 @@ VARIANTS = {
     "deformable_enc6": ("deformable", {"NUM_ENC_LAYERS": 6}),
     "windowed_enc4": ("windowed", {"NUM_ENC_LAYERS": 4}),
     "windowed_win12": ("windowed", {"WINDOW_SIZE": 12}),
+    "conv": ("conv", {}),
+    "conv_enc6": ("conv", {"NUM_ENC_LAYERS": 6}),
     "windowed_prenorm": ("windowed", {"WINDOWED_PRENORM": True}),
     "windowed_prenorm_enc6": ("windowed", {"WINDOWED_PRENORM": True,
                                            "NUM_ENC_LAYERS": 6}),
