@@ -37,8 +37,18 @@ def main():
     # tools/flagship_eval.py trains both variants head-to-head on synthetic
     # tracking data and scores HOTA through the real engines);
     # "exact" = the reference-faithful deformable encoder.
+    # "windowed" / "exact" = per-frame streaming (latency mode, batch 1);
+    # "serveN" (e.g. serve8) = batched serving throughput — N sequences in
+    # lockstep, one TrackState lane each (engine/submit.py BatchedSubmitter)
     variant = sys.argv[1] if len(sys.argv) > 1 else "windowed"
-    encoder_type = "windowed" if variant == "windowed" else "deformable"
+    batch = 1
+    if variant.startswith("serve"):
+        batch = int(variant[5:] or 8)
+        variant = f"windowed-serve{batch}"
+        encoder_type = "windowed"
+    else:
+        encoder_type = variant if variant in ("windowed", "conv") \
+            else "deformable"
 
     dtype = jnp.bfloat16
     c, slots, n_det = 256, 64, 300
@@ -51,9 +61,9 @@ def main():
 
     h, w = 800, 1536
     rng = jax.random.PRNGKey(0)
-    images = jax.random.normal(rng, (1, h, w, 3), jnp.float32) * 0.5
-    mask = jnp.zeros((1, h, w), bool)
-    state = TrackState.empty(1, slots, c, 1, use_dab=True)
+    images = jax.random.normal(rng, (batch, h, w, 3), jnp.float32) * 0.5
+    mask = jnp.zeros((batch, h, w), bool)
+    state = TrackState.empty(batch, slots, c, 1, use_dab=True)
 
     # jit the inits: eager init compiles hundreds of ops one-by-one through
     # the remote compile helper (~7 min); one jitted program is ~1 min
@@ -79,7 +89,7 @@ def main():
     # the state dependency chains all steps; one scalar fetch forces them
     _ = float(jnp.sum(results["scores"]))
     dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
+    fps = batch / dt
 
     print(json.dumps({
         "metric": f"streaming tracking FPS/chip "
