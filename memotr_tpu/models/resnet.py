@@ -78,16 +78,61 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class Conv1Stem(nn.Module):
+    """The ResNet stem conv (7x7, stride 2, pad 3, no bias) computed via
+    space-to-depth: the input is rearranged into 2x2 blocks ((B, H, W, 3) ->
+    (B, H/2, W/2, 12)) and the 7x7 stride-2 kernel is scattered into an
+    equivalent 4x4 stride-1 kernel over the 12 phase-channels — the MLPerf
+    TPU ResNet trick.  A 3-channel 7x7 stride-2 conv tiles poorly onto the
+    MXU (C_in=3 wastes 125/128 of the contraction lanes); the s2d form
+    contracts over 12 x 4 x 4 = 192 lanes.  Bit-equivalent taps, identical
+    parameter tree to ``nn.Conv(64, (7,7), name="conv1")`` so checkpoints
+    and the torch converter are unchanged.
+    """
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features), jnp.float32)
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # gather w[a, b] into (ku, kv, phase): tap offset d = a - 3 lands at
+        # phase p = d mod 2, block offset (d - p)/2 in {-2..1}; the one
+        # (ku, p) combo with no tap (d = -4) reads a zero pad row (index 7)
+        import numpy as np
+        idx = np.full((4, 2), 7)
+        for a in range(7):
+            d = a - 3
+            idx[(d - d % 2) // 2 + 2, d % 2] = a
+        kpad = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = kpad[idx[:, :, None, None], idx[None, None]]  # (ku,p,kv,q,c,F)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c, self.features).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            y.astype(self.dtype), k4, window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet50(nn.Module):
     """Returns (layer2, layer3, layer4) NHWC features, strides (8, 16, 32)."""
     dtype: Dtype = jnp.float32
     strides: Sequence[int] = (8, 16, 32)
     num_channels: Sequence[int] = (512, 1024, 2048)
+    s2d_stem: bool = True   # space-to-depth stem (exact; see Conv1Stem)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.s2d_stem:
+            x = Conv1Stem(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
