@@ -83,11 +83,16 @@ class Conv1Stem(nn.Module):
     space-to-depth: the input is rearranged into 2x2 blocks ((B, H, W, 3) ->
     (B, H/2, W/2, 12)) and the 7x7 stride-2 kernel is scattered into an
     equivalent 4x4 stride-1 kernel over the 12 phase-channels — the MLPerf
-    TPU ResNet trick.  A 3-channel 7x7 stride-2 conv tiles poorly onto the
-    MXU (C_in=3 wastes 125/128 of the contraction lanes); the s2d form
-    contracts over 12 x 4 x 4 = 192 lanes.  Bit-equivalent taps, identical
-    parameter tree to ``nn.Conv(64, (7,7), name="conv1")`` so checkpoints
-    and the torch converter are unchanged.
+    TPU ResNet trick.  Bit-equivalent taps, identical parameter tree to
+    ``nn.Conv(64, (7,7), name="conv1")`` so checkpoints and the torch
+    converter are unchanged.
+
+    Measured on v5e at 800x1536 this is ~0.6 ms SLOWER than the plain conv
+    (4.86 vs 4.29 ms whole-backbone; PERF_NOTES.md) — XLA:TPU's conv
+    emitter already space-to-depth-transforms low-channel stems internally,
+    and the manual rearrange only adds reshape traffic.  Kept as a tested,
+    exact option (``ResNet50(s2d_stem=True)``) and a recorded negative
+    result; default off.
     """
     features: int = 64
     dtype: Dtype = jnp.float32
@@ -123,7 +128,8 @@ class ResNet50(nn.Module):
     dtype: Dtype = jnp.float32
     strides: Sequence[int] = (8, 16, 32)
     num_channels: Sequence[int] = (512, 1024, 2048)
-    s2d_stem: bool = True   # space-to-depth stem (exact; see Conv1Stem)
+    s2d_stem: bool = False  # space-to-depth stem (exact but slower on v5e
+    #                         — XLA already transforms the stem; Conv1Stem)
 
     @nn.compact
     def __call__(self, x):
