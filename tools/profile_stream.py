@@ -67,6 +67,31 @@ def time_step(encoder_type: str, n_enc: int, n_dec: int, n_iters: int,
     return (time.perf_counter() - t0) / n_iters
 
 
+def time_backbone(n_iters: int, h: int = 800, w: int = 1536) -> float:
+    """Backbone alone (R50, bf16, NHWC) at the flagship shape — splits the
+    floor into backbone vs projections+PE+heads+updater."""
+    from memotr_tpu.models.resnet import ResNet50
+
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (1, h, w, 3), jnp.float32) * 0.5
+    model = ResNet50(dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(rng, images.astype(jnp.bfloat16))
+
+    @jax.jit
+    def run(p, x, acc):
+        feats = model.apply(p, (x + acc).astype(jnp.bfloat16))
+        return acc + jnp.float32(feats[-1].mean()) * 1e-9
+
+    acc = jnp.float32(0.0)
+    acc = run(params, images, acc)
+    _ = float(acc)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        acc = run(params, images, acc)
+    _ = float(acc)                               # dependent host fetch
+    return (time.perf_counter() - t0) / n_iters
+
+
 def main():
     encoder_type = sys.argv[1] if len(sys.argv) > 1 else "windowed"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -80,6 +105,9 @@ def main():
         dt = time_step(encoder_type, ne, nd, n_iters)
         out[name] = round(dt * 1e3, 2)
         print(f"{name}: {dt * 1e3:.2f} ms/frame", flush=True)
+    bb = time_backbone(n_iters)
+    out["backbone_only"] = round(bb * 1e3, 2)
+    print(f"backbone_only: {bb * 1e3:.2f} ms/frame", flush=True)
     enc = out["full_6enc_6dec"] - out["0enc_6dec"]
     dec5 = out["0enc_6dec"] - out["0enc_1dec"]
     report = {
@@ -90,6 +118,8 @@ def main():
             "decoder_5layers": round(dec5, 2),
             "decoder_per_layer": round(dec5 / 5, 2),
             "backbone_heads_updater_floor": out["0enc_1dec"],
+            "proj_pe_heads_updater": round(out["0enc_1dec"]
+                                           - out["backbone_only"], 2),
         },
     }
     print(json.dumps(report))
