@@ -271,6 +271,12 @@ class BatchedSubmitter:
         canvases = {ds.padded_canvas() for ds in datasets}
         assert len(canvases) == 1, \
             f"batch lanes must share a canvas, got {canvases}"
+        # Lanes shard over their own data mesh; a model built with a
+        # sequence-parallel token axis would hit with_sharding_constraint
+        # with an unbound (or conflicting) axis name inside the lane step.
+        assert getattr(model, "token_shard_axis", None) is None, \
+            "SUBMIT_BATCH>1 is incompatible with TOKEN_SHARD_AXIS; " \
+            "use the sequential submit path"
         self.dataset_name = dataset_name
         self.datasets = datasets
         self.seq_names = list(seq_names)
@@ -426,8 +432,12 @@ def submit(config: dict):
 
     outputs_dir = os.path.join(config["SUBMIT_DIR"], split)
     batch = int(cfg_get(config, "SUBMIT_BATCH", 1) or 1)
-    if batch > 1 and not config.get("VISUALIZE") \
-            and not config.get("USE_MOTION"):
+    if batch > 1 and (config.get("VISUALIZE") or config.get("USE_MOTION")
+                      or cfg_get(config, "TOKEN_SHARD_AXIS", None)):
+        logger.show(head="SUBMIT_BATCH ignored: VISUALIZE/USE_MOTION/"
+                         "TOKEN_SHARD_AXIS force the sequential submit path")
+        batch = 1
+    if batch > 1:
         # serving mode: group sequences by canvas orientation, stream up to
         # `batch` of them per compiled step (one TrackState lane each)
         h = cfg_get(config, "EVAL_SHORT_SIDE", 800)

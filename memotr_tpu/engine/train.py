@@ -20,7 +20,7 @@ import numpy as np
 from ..checkpoint.orbax_io import load_checkpoint, save_checkpoint
 from ..checkpoint.torch_convert import (convert_torch_state_dict,
                                         remap_pretrained_dab)
-from ..config import cfg_get, dict_to_yaml
+from ..config import cfg_get, dict_to_yaml, yaml_to_dict
 from ..data import build_dataloader, build_dataset
 from ..log.logger import Logger, MetricLog
 from ..models.criterion import build_criterion
@@ -44,42 +44,89 @@ def init_model_params(config: dict, model, updater, seed: int = 0):
     st = TrackState.empty(1, s, c, k, use_dab=use_dab)
     imgs = jnp.zeros((1, 128, 128, 3))
     mask = jnp.zeros((1, 128, 128), bool)
-    variables = model.init(rng, imgs, mask, st.query_embed, st.ref_pts,
-                           st.mask)
-    uvars = updater.init(rng, st.query_embed, st.ref_pts, st.logits, st.boxes,
-                         st.output_embed, st.last_output, st.long_memory,
-                         st.mask)
+    # jit the inits: eager init compiles hundreds of ops one-by-one through
+    # the remote compile helper (minutes through the axon relay on a cold
+    # cache); one jitted program compiles in seconds (see bench.py)
+    variables = jax.jit(model.init)(rng, imgs, mask, st.query_embed,
+                                    st.ref_pts, st.mask)
+    uvars = jax.jit(updater.init)(rng, st.query_embed, st.ref_pts, st.logits,
+                                  st.boxes, st.output_embed, st.last_output,
+                                  st.long_memory, st.mask)
     return variables, uvars
 
 
 def load_pretrained(config: dict, variables, uvars, logger: Logger):
-    """Load + remap a reference-format PyTorch checkpoint if configured."""
+    """Load pretrained weights into freshly-initialized trees.
+
+    Two source formats:
+
+    - a reference-format **PyTorch** checkpoint (``.pth``) — converted and
+      key-remapped like ``load_pretrained_model``
+      (``/root/reference/models/utils.py:88-168``);
+    - a **native Orbax checkpoint directory** from a previous run of this
+      framework — the partial-transplant path (e.g. a trained deformable
+      teacher's backbone/decoder/heads/query-embeds into a windowed student).
+
+    Either way the merge is strict=False with shape checks, PLUS an encoder
+    skip rule: when the target model's encoder family differs from the
+    deformable encoder the checkpoint was trained with (any
+    ``ENCODER_TYPE != deformable`` unless ``PRETRAIN_SKIP_ENCODER`` says
+    otherwise), the ``transformer/encoder`` subtree is excluded entirely —
+    several leaf names (norm1/linear1/...) collide across encoder families
+    with matching shapes, and a silent partial load would be wrong."""
     path = config.get("PRETRAINED_MODEL")
     if not path or not os.path.exists(path):
         if path:
             logger.show(head=f"[warn] PRETRAINED_MODEL {path} not found; "
                              f"training from scratch.")
         return variables, uvars
-    import torch
-    sd = torch.load(path, map_location="cpu")
-    if "model" in sd:
-        sd = sd["model"]
-    sd = remap_pretrained_dab(sd, num_classes=len(
-        variables["params"]["transformer"]["decoder"]["class_embed_0"]["bias"]))
-    model_c, updater_c, frozen_c = convert_torch_state_dict(
-        sd, use_dab=cfg_get(config, "USE_DAB", True))
-    dropped = model_c.pop("_unconverted")
-    logger.show(head=f"Pretrained loaded; {len(dropped)} torch keys "
-                     f"unconverted.")
 
-    def merge(dst, src):
+    skip_encoder = cfg_get(config, "PRETRAIN_SKIP_ENCODER", None)
+    if skip_encoder is None:   # auto: fresh encoder for non-deformable models
+        skip_encoder = cfg_get(
+            config, "ENCODER_TYPE", "deformable") != "deformable"
+
+    if os.path.isdir(path):    # native checkpoint: transplant
+        restored = load_checkpoint(path)
+        model_c = restored["params"]["model"]
+        updater_c = restored["params"]["updater"]
+        frozen_c = restored.get("frozen", {})
+        logger.show(head=f"Transplanting native checkpoint {path} "
+                         f"(skip_encoder={skip_encoder}).")
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        if "model" in sd:
+            sd = sd["model"]
+        sd = remap_pretrained_dab(sd, num_classes=len(
+            variables["params"]["transformer"]["decoder"]["class_embed_0"]
+            ["bias"]))
+        model_c, updater_c, frozen_c = convert_torch_state_dict(
+            sd, use_dab=cfg_get(config, "USE_DAB", True))
+        dropped = model_c.pop("_unconverted")
+        logger.show(head=f"Pretrained loaded; {len(dropped)} torch keys "
+                         f"unconverted (skip_encoder={skip_encoder}).")
+
+    stats = {"loaded": 0, "shape_mismatch": 0, "encoder_skipped": 0}
+
+    def count_leaves(tree):
+        return sum(1 for _ in jax.tree_util.tree_leaves(tree))
+
+    def merge(dst, src, path=()):
         out = dict(dst)
         for k, v in src.items():
+            sub = path + (k,)
+            if skip_encoder and sub[:2] == ("transformer", "encoder"):
+                stats["encoder_skipped"] += count_leaves(v)
+                continue
             if k in out and isinstance(out[k], dict):
-                out[k] = merge(out[k], v)
+                out[k] = merge(out[k], v, sub)
             elif k in out:
                 if out[k].shape == v.shape:
                     out[k] = jnp.asarray(v, out[k].dtype)
+                    stats["loaded"] += 1
+                else:
+                    stats["shape_mismatch"] += 1
             # keys absent from the target tree are dropped, like strict=False
         return out
 
@@ -88,6 +135,9 @@ def load_pretrained(config: dict, variables, uvars, logger: Logger):
     new_vars["frozen"] = merge(variables["frozen"], frozen_c)
     new_uvars = dict(uvars)
     new_uvars["params"] = merge(uvars["params"], updater_c)
+    logger.show(head=f"Pretrain merge: {stats['loaded']} tensors loaded, "
+                     f"{stats['shape_mismatch']} shape-mismatched, "
+                     f"{stats['encoder_skipped']} encoder leaves skipped.")
     return new_vars, new_uvars
 
 
@@ -142,6 +192,38 @@ def train(config: dict):
     labels = label_tree(state.params)
     frozen = {"frozen": variables["frozen"]}
 
+    # --- optional teacher->student distillation (trainer.py) -----------------
+    distill = None
+    teacher_params = None
+    d_path = cfg_get(config, "DISTILL_TEACHER", None)
+    if d_path:
+        teacher_dir = os.path.dirname(os.path.abspath(d_path))
+        t_config = yaml_to_dict(os.path.join(teacher_dir, "train",
+                                             "config.yaml"))
+        assert t_config["HIDDEN_DIM"] == config["HIDDEN_DIM"], \
+            "distillation teacher must share HIDDEN_DIM with the student"
+        assert t_config["NUM_DET_QUERIES"] == config["NUM_DET_QUERIES"], \
+            "distillation teacher must share NUM_DET_QUERIES"
+        teacher_model = build_model(t_config)
+        t_restored = load_checkpoint(d_path)
+        assert "frozen" in t_restored, \
+            "DISTILL_TEACHER must be a full (epoch) checkpoint with frozen " \
+            "backbone stats"
+        teacher_params = {"params": t_restored["params"]["model"],
+                          "frozen": t_restored["frozen"]}
+        teacher_params = replicate(mesh, teacher_params)
+        distill = {"model": teacher_model, "weights": {
+            "distill_memory": float(
+                cfg_get(config, "DISTILL_WEIGHT_MEMORY", 1.0)),
+            "distill_logit": float(
+                cfg_get(config, "DISTILL_WEIGHT_LOGIT", 1.0)),
+            "distill_box": float(
+                cfg_get(config, "DISTILL_WEIGHT_BOX", 1.0)),
+        }}
+        logger.show(head=f"Distillation: teacher={d_path} "
+                         f"({t_config.get('ENCODER_TYPE', 'deformable')} "
+                         f"encoder), weights={distill['weights']}")
+
     state = replicate(mesh, state)
     frozen = replicate(mesh, frozen)
 
@@ -158,11 +240,12 @@ def train(config: dict):
             cs["no_grad_frames"] = 0 if no_grad is None else no_grad
             if accumulation == 1:
                 step_cache[no_grad] = make_train_step(
-                    model, updater, criterion, optimizer, cs, labels)
+                    model, updater, criterion, optimizer, cs, labels,
+                    distill=distill)
             else:
                 step_cache[no_grad] = make_accum_steps(
                     model, updater, criterion, optimizer, cs, labels,
-                    accumulation)
+                    accumulation, distill=distill)
         return step_cache[no_grad]
 
     states = {"start_epoch": 0, "global_iters": 0}
@@ -211,13 +294,13 @@ def train(config: dict):
             with under_mesh():
                 if accumulation == 1:
                     state, logs = steps(state, frozen, device_batch,
-                                        step_rng, lrs)
+                                        step_rng, lrs, teacher_params)
                 else:
                     # true gradient accumulation (train_engine.py:237-246)
                     grad_step, apply_step = steps
                     grad_accum, logs = grad_step(state.params, frozen,
                                                  device_batch, step_rng,
-                                                 grad_accum)
+                                                 grad_accum, teacher_params)
                     if (i + 1) % accumulation == 0:
                         state = apply_step(state, grad_accum, lrs)
                         grad_accum = None

@@ -125,14 +125,54 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+# --------------------------------------------------------------- distillation
+def distill_frame_losses(out: Dict, t_out: Dict, n_det: int) -> Dict:
+    """Per-frame teacher->student distillation terms (no reference
+    counterpart; the TPU-native lever for closing the windowed-vs-deformable
+    quality gap, QUALITY.md):
+
+    - ``distill_memory``: masked MSE between encoder memories — trains the
+      TPU-native encoder to reproduce the deformable encoder's features
+      (shapes match: same backbone strides and hidden dim);
+    - ``distill_logit``: sigmoid BCE of student detection logits against
+      teacher probabilities (soft targets);
+    - ``distill_box``: teacher-confidence-weighted L1 between detection-query
+      boxes, so background queries do not dominate.
+    """
+    valid = (~out["memory_mask"])[..., None].astype(jnp.float32)
+    s_mem = out["memory"].astype(jnp.float32)
+    t_mem = t_out["memory"].astype(jnp.float32)
+    mem = jnp.sum(valid * (s_mem - t_mem) ** 2) / (
+        jnp.maximum(jnp.sum(valid), 1.0) * s_mem.shape[-1])
+
+    s_log = out["pred_logits"][:, :n_det].astype(jnp.float32)
+    t_prob = jax.nn.sigmoid(t_out["pred_logits"][:, :n_det]
+                            .astype(jnp.float32))
+    bce = optax.sigmoid_binary_cross_entropy(s_log, t_prob)
+    logit = jnp.mean(bce)
+
+    conf = jnp.max(t_prob, axis=-1)                         # (B, Nd)
+    l1 = jnp.sum(jnp.abs(out["pred_boxes"][:, :n_det].astype(jnp.float32)
+                         - t_out["pred_boxes"][:, :n_det]
+                         .astype(jnp.float32)), axis=-1)
+    box = jnp.sum(conf * l1) / jnp.maximum(jnp.sum(conf), 1e-6)
+    return {"distill_memory": mem, "distill_logit": logit,
+            "distill_box": box}
+
+
 # ------------------------------------------------------------------ clip loss
 def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
-              batch: Dict, rng: jax.Array, config_static: Dict
+              batch: Dict, rng: jax.Array, config_static: Dict,
+              distill=None, teacher_params=None
               ) -> Tuple[jnp.ndarray, Dict]:
     """Loss over one clip batch.
 
     batch: images (B,T,H,W,3), mask (B,T,H,W), gt_* (B,T,G,...).
     config_static: hashable subset (n_frames, thresholds, weights...).
+    distill: optional {"model": teacher_model, "weights": {name: w}} —
+    the teacher forward (stop-gradient, empty track slots: neither the
+    memory nor the det-query outputs depend on live tracks) is run per frame
+    and ``distill_frame_losses`` terms are added to the total.
     """
     cs = config_static
     images = batch["images"]
@@ -145,6 +185,7 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
     loss_acc: Dict[str, jnp.ndarray] = {}
     frame_logs: Dict[str, jnp.ndarray] = {}
     n_gts_total = jnp.zeros((), jnp.float32)
+    distill_acc = jnp.zeros((), jnp.float32)
     deterministic = cs["dropout"] == 0.0
 
     for f in range(t):
@@ -162,6 +203,16 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
             out = model_forward(
                 model, mp, frames, state, deterministic=deterministic,
                 rngs=None if deterministic else {"dropout": r_model})
+            dterms = {}
+            if distill is not None:
+                t_state = TrackState.empty(
+                    b, cs["track_slots"], cs["hidden_dim"],
+                    cs["num_classes"], use_dab=cs["use_dab"])
+                t_out = jax.lax.stop_gradient(model_forward(
+                    distill["model"], teacher_params, frames, t_state,
+                    deterministic=True))
+                dterms = distill_frame_losses(out, t_out,
+                                              model.n_det_queries)
             losses, n_gts, state, new_cand, um_cand = criterion.process_frame(
                 out, state, gt)
             if f < t - 1:   # last frame skips postprocess (train_engine:213)
@@ -172,13 +223,18 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
                 state = apply_query_updater(
                     updater, up, state, deterministic=deterministic,
                     rngs=None if deterministic else {"dropout": r_upd})
-            return losses, n_gts, state
+            return losses, n_gts, state, dterms
 
         if no_grad:
-            losses, n_gts, state = jax.lax.stop_gradient(
+            losses, n_gts, state, dterms = jax.lax.stop_gradient(
                 frame_body(state, trainable))
         else:
-            losses, n_gts, state = frame_body(state, trainable)
+            losses, n_gts, state, dterms = frame_body(state, trainable)
+
+        for k, v in dterms.items():
+            w = distill["weights"].get(k, 1.0)
+            distill_acc = distill_acc + w * v / t
+            frame_logs[k] = frame_logs.get(k, 0.0) + v / t
 
         for k, v in losses.items():
             loss_acc[k] = loss_acc.get(k, 0.0) + v * cs["frame_weight"]
@@ -203,6 +259,7 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
         return 1.0
 
     total = sum(w_for(k) * v for k, v in loss_acc.items()) / normalizer
+    total = total + distill_acc
     logs = {k: v / normalizer for k, v in loss_acc.items()}
     logs.update(frame_logs)
     logs["total_loss"] = total
@@ -234,22 +291,27 @@ def static_config(config: dict, model, world_size: int = 1) -> Dict:
 
 def make_train_step(model, updater, criterion: ClipCriterion,
                     optimizer: optax.GradientTransformation,
-                    config_static: Dict, labels):
+                    config_static: Dict, labels, distill=None):
     """Build the jitted (donated) train step.
 
-    signature: (train_state, frozen, batch, rng, lrs) -> (train_state, logs)
+    signature: (train_state, frozen, batch, rng, lrs[, teacher_params])
+    -> (train_state, logs)
     ``labels``: param-group label tree (static, closed over).
     ``lrs``: per-group learning rates as a dict of scalars (jnp arrays so an
     epoch LR change does not retrigger compilation).
+    ``distill``: optional {"model", "weights"}; when set, pass the teacher's
+    variables as the extra ``teacher_params`` argument.
     """
 
-    def loss_fn(trainable, frozen, batch, rng):
+    def loss_fn(trainable, frozen, batch, rng, teacher_params):
         return clip_loss(trainable, frozen, model, updater, criterion,
-                         batch, rng, config_static)
+                         batch, rng, config_static, distill=distill,
+                         teacher_params=teacher_params)
 
-    def step(train_state: TrainState, frozen, batch, rng, lrs):
+    def step(train_state: TrainState, frozen, batch, rng, lrs,
+             teacher_params=None):
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            train_state.params, frozen, batch, rng)
+            train_state.params, frozen, batch, rng, teacher_params)
         updates, new_opt = optimizer.update(grads, train_state.opt_state,
                                             train_state.params)
         # per-group LR applied leaf-wise (AdamW: p -= lr*(adam + wd*p))
@@ -265,24 +327,28 @@ def make_train_step(model, updater, criterion: ClipCriterion,
 
 def make_accum_steps(model, updater, criterion: ClipCriterion,
                      optimizer: optax.GradientTransformation,
-                     config_static: Dict, labels, accumulation: int):
+                     config_static: Dict, labels, accumulation: int,
+                     distill=None):
     """Gradient accumulation: the loss is divided by ACCUMULATION_STEPS and
     micro-batch gradients summed before one optimizer hit, matching the
     reference exactly (train_engine.py:237-246).
 
     Returns (grad_step, apply_step):
-      grad_step(params, frozen, batch, rng, grad_accum) -> (grad_accum, logs)
+      grad_step(params, frozen, batch, rng, grad_accum[, teacher_params])
+        -> (grad_accum, logs)
       apply_step(train_state, grad_accum, lrs) -> train_state
     """
 
-    def loss_fn(trainable, frozen, batch, rng):
+    def loss_fn(trainable, frozen, batch, rng, teacher_params):
         total, logs = clip_loss(trainable, frozen, model, updater, criterion,
-                                batch, rng, config_static)
+                                batch, rng, config_static, distill=distill,
+                                teacher_params=teacher_params)
         return total / accumulation, logs
 
-    def grad_step(params, frozen, batch, rng, grad_accum):
+    def grad_step(params, frozen, batch, rng, grad_accum,
+                  teacher_params=None):
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, frozen, batch, rng)
+            params, frozen, batch, rng, teacher_params)
         if grad_accum is None:
             return grads, logs
         return jax.tree.map(jnp.add, grad_accum, grads), logs

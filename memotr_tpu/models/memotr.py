@@ -65,12 +65,14 @@ class MeMOTR(nn.Module):
     with_box_refine: bool = True
     use_checkpoint: bool = False
     msda_impl: str = "auto"
-    encoder_type: str = "deformable"   # deformable | windowed | conv
+    encoder_type: str = "deformable"   # deformable | windowed | conv | hybrid
     windowed_lepe: bool = True         # windowed-encoder ablation knobs
     windowed_bottomup: bool = True
     windowed_relpos: bool = True
     windowed_window: int = 8
     windowed_prenorm: bool = False
+    windowed_shared_cpb: bool = False  # one CPB table for all layers
+    hybrid_deform_min_level: int = 1   # hybrid: first deformable level
     token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
     dtype: Any = jnp.float32
 
@@ -161,6 +163,8 @@ class MeMOTR(nn.Module):
             windowed_relpos=self.windowed_relpos,
             windowed_window=self.windowed_window,
             windowed_prenorm=self.windowed_prenorm,
+            windowed_shared_cpb=self.windowed_shared_cpb,
+            hybrid_deform_min_level=self.hybrid_deform_min_level,
             token_shard_axis=self.token_shard_axis,
             dtype=self.dtype, name="transformer")(
             srcs, masks, poss, query_embed, ref_pts, query_mask, deterministic)
@@ -178,6 +182,10 @@ class MeMOTR(nn.Module):
             "all_logits": dec["logits"],
             "all_boxes": dec["boxes"],
             "queries": dec["queries"].astype(jnp.float32),
+            # encoder memory for feature distillation; dead code (DCE'd by
+            # XLA) on paths that do not read it
+            "memory": dec["memory"],
+            "memory_mask": dec["memory_mask"],
         }
         return out
 
@@ -210,6 +218,10 @@ def build_model(config: dict) -> MeMOTR:
         windowed_relpos=bool(cfg_get(config, "WINDOWED_RELPOS", True)),
         windowed_window=int(cfg_get(config, "WINDOW_SIZE", 8)),
         windowed_prenorm=bool(cfg_get(config, "WINDOWED_PRENORM", False)),
+        windowed_shared_cpb=bool(cfg_get(config, "WINDOWED_SHARED_CPB",
+                                         False)),
+        hybrid_deform_min_level=int(cfg_get(config, "HYBRID_DEFORM_MIN_LEVEL",
+                                            1)),
         token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),
         dtype=dtype,
     )

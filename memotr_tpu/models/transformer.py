@@ -56,6 +56,8 @@ class DeformableTransformer(nn.Module):
     windowed_relpos: bool = True
     windowed_window: int = 8
     windowed_prenorm: bool = False
+    windowed_shared_cpb: bool = False
+    hybrid_deform_min_level: int = 1
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
     # (PERF_NOTES.md), so sharding tokens divides the dominant cost across
@@ -111,8 +113,24 @@ class DeformableTransformer(nn.Module):
                 use_bottomup=self.windowed_bottomup,
                 use_relpos=self.windowed_relpos,
                 prenorm=self.windowed_prenorm,
+                shared_cpb=self.windowed_shared_cpb,
                 dropout=self.dropout, use_checkpoint=self.use_checkpoint,
                 dtype=self.dtype, name="encoder")(
+                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                deterministic)
+        elif self.encoder_type == "hybrid":
+            from .hybrid_encoder import HybridEncoder
+            memory = HybridEncoder(
+                self.n_enc_layers, self.d_model, self.d_ffn, self.n_heads,
+                n_points=self.n_enc_points,
+                deform_min_level=self.hybrid_deform_min_level,
+                window=self.windowed_window,
+                use_lepe=self.windowed_lepe,
+                use_bottomup=self.windowed_bottomup,
+                use_relpos=self.windowed_relpos,
+                prenorm=self.windowed_prenorm,
+                dropout=self.dropout, use_checkpoint=self.use_checkpoint,
+                msda_impl=self.msda_impl, dtype=self.dtype, name="encoder")(
                 src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
                 deterministic)
         else:
@@ -140,4 +158,6 @@ class DeformableTransformer(nn.Module):
                       self.msda_impl, self.dtype, name="decoder")(
             tgt.astype(self.dtype), reference_points, memory, spatial_shapes,
             valid_ratios, query_pos, query_mask, mask_flat, deterministic)
+        # encoder memory exposed for feature distillation (engine/trainer.py)
+        dec = dict(dec, memory=memory, memory_mask=mask_flat)
         return dec

@@ -89,6 +89,17 @@ def _relpos_table(n_h: int, n_w: int, scale: int) -> Tuple[np.ndarray,
     return coords.astype(np.float32), index
 
 
+def _cpb_bias(cpb1, cpb2, n_h: int, n_w: int, scale: int) -> jnp.ndarray:
+    """Continuous position bias table for an (n_h, n_w) member grid:
+    (H, L, L) with L = n_h*n_w (Swin-v2 CPB: MLP over log-scaled offsets,
+    16*sigmoid bounding)."""
+    coords, index = _relpos_table(n_h, n_w, scale)
+    table = cpb2(nn.relu(cpb1(jnp.asarray(coords))))    # (T, H)
+    table = 16.0 * nn.sigmoid(table)
+    bias = table[jnp.asarray(index)]                    # (L, L, H)
+    return bias.transpose(2, 0, 1)
+
+
 def _block_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
                  w: int, win: int, grid: bool) -> jnp.ndarray:
     hh, ww = hw_pad
@@ -147,11 +158,17 @@ class WindowedEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], masks: List[jnp.ndarray],
-                 poss: List[jnp.ndarray], deterministic: bool = True):
-        """levels: per-level (B, H_l, W_l, C); masks: (B, H_l, W_l) True=pad."""
+                 poss: List[jnp.ndarray], deterministic: bool = True,
+                 shared_bias: Any = None):
+        """levels: per-level (B, H_l, W_l, C); masks: (B, H_l, W_l) True=pad.
+
+        ``shared_bias``: optional per-level list of precomputed (H, L, L)
+        relative-position bias tables (WINDOWED_SHARED_CPB — one CPB MLP in
+        the parent encoder, evaluated once and reused by every layer, saving
+        the ~0.18 ms/layer table recompute, PERF_NOTES.md)."""
         attn = MultiheadAttention(self.n_heads, self.dropout,
                                   dtype=self.dtype, name="win_attn")
-        if self.use_relpos:
+        if self.use_relpos and shared_bias is None:
             # Swin-v2-style continuous position bias: a small MLP maps
             # log-scaled relative offsets to per-head biases.  An MLP (not a
             # table) because grid-attention group shapes vary per level; one
@@ -162,11 +179,7 @@ class WindowedEncoderLayer(nn.Module):
                             name="cpb_mlp2")
 
             def relpos_bias(n_h: int, n_w: int, scale: int) -> jnp.ndarray:
-                coords, index = _relpos_table(n_h, n_w, scale)
-                table = cpb2(nn.relu(cpb1(jnp.asarray(coords))))  # (T, H)
-                table = 16.0 * nn.sigmoid(table)
-                bias = table[jnp.asarray(index)]                  # (L, L, H)
-                return bias.transpose(2, 0, 1)                    # (H, L, L)
+                return _cpb_bias(cpb1, cpb2, n_h, n_w, scale)     # (H, L, L)
         lepe = nn.Conv(self.d_model, (3, 3), padding="SAME",
                        feature_group_count=self.d_model, dtype=self.dtype,
                        name="lepe_dwconv") if self.use_lepe else None
@@ -179,7 +192,7 @@ class WindowedEncoderLayer(nn.Module):
                             name="bottomup_mix")
 
         out = []
-        for x, m, pos in zip(levels, masks, poss):
+        for lvl, (x, m, pos) in enumerate(zip(levels, masks, poss)):
             b, h, w, _ = x.shape
             if lepe is not None:
                 # local positional mixing; zero padded pixels so the conv
@@ -195,7 +208,9 @@ class WindowedEncoderLayer(nn.Module):
             all_dead = jnp.all(mw, axis=1, keepdims=True)
             mw = jnp.where(all_dead, jnp.zeros_like(mw), mw)
             bias = None
-            if self.use_relpos:
+            if shared_bias is not None:
+                bias = shared_bias[lvl]
+            elif self.use_relpos:
                 hh, ww = hw_pad
                 if self.grid:
                     bias = relpos_bias(hh // self.window, ww // self.window,
@@ -232,6 +247,10 @@ class WindowedEncoder(nn.Module):
     use_bottomup: bool = True
     use_relpos: bool = True
     prenorm: bool = False
+    shared_cpb: bool = False   # one CPB MLP for all layers; its two bias
+    #                            tables (window + per-level grid) are
+    #                            computed once per forward instead of per
+    #                            layer (~0.18 ms/layer, PERF_NOTES.md)
     dropout: float = 0.0
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
@@ -252,19 +271,34 @@ class WindowedEncoder(nn.Module):
             poss.append(pos[:, sl].reshape(b, h, w, c))
             start += h * w
 
+        win_bias = grid_bias = None
+        if self.use_relpos and self.shared_cpb:
+            cpb1 = nn.Dense(64, dtype=jnp.float32, name="cpb_mlp1")
+            cpb2 = nn.Dense(self.n_heads, use_bias=False, dtype=jnp.float32,
+                            name="cpb_mlp2")
+            w = self.window
+            win_one = _cpb_bias(cpb1, cpb2, w, w, 1)
+            win_bias = [win_one] * len(spatial_shapes)
+            grid_bias = [_cpb_bias(cpb1, cpb2, (h + (-h) % w) // w,
+                                   (ww + (-ww) % w) // w, w)
+                         for (h, ww) in spatial_shapes]
+
         layer_cls = WindowedEncoderLayer
         if self.use_checkpoint:
             layer_cls = nn.remat(WindowedEncoderLayer, static_argnums=(4,))
         for i in range(self.num_layers):
+            grid = i % 2 == 1
             levels = layer_cls(self.d_model, self.d_ffn, self.n_heads,
-                               self.window, grid=(i % 2 == 1),
+                               self.window, grid=grid,
                                use_lepe=self.use_lepe,
                                use_bottomup=self.use_bottomup,
                                use_relpos=self.use_relpos,
                                prenorm=self.prenorm,
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
-                levels, masks, poss, deterministic)
+                levels, masks, poss, deterministic,
+                (grid_bias if grid else win_bias)
+                if self.shared_cpb and self.use_relpos else None)
         if self.prenorm:
             final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                  name="final_norm")

@@ -221,3 +221,38 @@ def test_gradients_flow_through_windowed():
     g = jax.grad(loss)(params)
     gn = float(jnp.sqrt(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(g))))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_shared_cpb_param_location_and_equivalence_structure():
+    """WINDOWED_SHARED_CPB: one CPB MLP at the encoder level; layers carry no
+    per-layer cpb params.  The bias path stays active (output differs from a
+    no-relpos encoder with otherwise-identical params)."""
+    shapes = ((16, 24), (8, 12), (4, 6), (2, 3))
+    s_total = sum(h * w for h, w in shapes)
+    rng = jax.random.PRNGKey(0)
+    src = jax.random.normal(rng, (1, s_total, 32))
+    pos = jax.random.normal(jax.random.fold_in(rng, 1), (1, s_total, 32))
+    mask = jnp.zeros((1, s_total), bool)
+    enc = WindowedEncoder(num_layers=2, d_model=32, d_ffn=64, n_heads=4,
+                          shared_cpb=True, dtype=jnp.float32)
+    params = enc.init(rng, src, shapes, None, pos, mask)
+    p = params["params"]
+    assert "cpb_mlp1" in p and "cpb_mlp2" in p
+    assert "cpb_mlp1" not in p["layer_0"] and "cpb_mlp1" not in p["layer_1"]
+    out = enc.apply(params, src, shapes, None, pos, mask)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # zeroing the shared CPB head removes the bias contribution -> output
+    # changes, proving the shared tables feed every layer
+    import copy
+    p2 = jax.tree.map(lambda x: x, params)
+    p2["params"]["cpb_mlp2"]["kernel"] = jnp.zeros_like(
+        p2["params"]["cpb_mlp2"]["kernel"])
+    out2 = enc.apply(p2, src, shapes, None, pos, mask)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    # gradients flow into the shared table
+    def loss(pp):
+        return jnp.sum(enc.apply(pp, src, shapes, None, pos, mask))
+    g = jax.grad(loss)(params)["params"]["cpb_mlp1"]["kernel"]
+    assert float(jnp.sum(jnp.abs(g))) > 0

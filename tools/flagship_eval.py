@@ -1,65 +1,113 @@
-"""Windowed-vs-deformable quality evidence on synthetic tracking data.
+"""Encoder-family quality evidence on synthetic tracking data.
 
-The TPU-native windowed encoder (models/windowed_encoder.py) is an
-architecture change vs the reference's deformable encoder, so reference
-checkpoints say nothing about its quality.  This harness trains BOTH encoder
-variants from scratch under identical data/seed/schedule on a synthetic
-multi-object dataset (textured moving squares with crossing paths — both
-detection and association matter), then submits + scores HOTA/DetA/AssA on a
-held-out split through the real engines.
+The TPU-native encoders (windowed/conv/hybrid, models/*.py) are architecture
+changes vs the reference's deformable encoder, so reference checkpoints say
+nothing about their quality.  This harness trains encoder variants from
+scratch (or via transplant/distillation from a trained deformable teacher)
+under identical data/seed/schedule on a synthetic multi-object dataset, then
+submits + scores HOTA/DetA/AssA on a held-out split through the real engines.
 
-Usage:  python tools/flagship_eval.py [workdir] [epochs] [variants] [seed]
-Writes <workdir>/flagship_eval.json and prints a one-line JSON summary.
+Round-3 proxy (v2) — hardened per VERDICT.md #6 so the decisions riding on
+it are resolvable:
+- 10-14 textured objects per sequence (occlusions via z-order overlap);
+- per-object scale oscillation (+-25%) and appearance (brightness) drift;
+- global camera pan (smooth sinusoidal viewport over a larger world);
+- 8 train / 8 val sequences, 40 frames each;
+- seed-replicated runs (seed-suffixed outdirs) aggregated by
+  tools/quality_report.py with mean +- std and the noise bar.
+
+Usage:
+  python tools/flagship_eval.py <workdir> <epochs> <v1,v2,...> <s1,s2,...>
+Trains every (variant, seed) pair missing from <workdir>, each in a fresh
+subprocess (crash isolation + bounded memory); completed pairs are skipped
+by their metrics file.  Prints a one-line JSON summary at the end.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
 H, W = 256, 320
-N_OBJ = 5
+PAD = 72            # world margin around the viewport for camera pan
+N_FRAMES = 40
+N_TRAIN_SEQS = 8
+N_VAL_SEQS = 8
 
 
 def make_synvalue(root: str, split: str, n_seqs: int, n_frames: int,
                   seed: int):
-    """Textured background + moving textured squares, MOT-format GT."""
+    """Synthetic tracking world: textured objects over a textured background
+    with occlusions, scale/appearance change and camera pan (proxy v2)."""
     import PIL.Image
     rng = np.random.default_rng(seed)
+    wh, ww = H + 2 * PAD, W + 2 * PAD
     for s in range(n_seqs):
         vdir = os.path.join(root, "DanceTrack", split, f"dancetrack{s:04d}")
         os.makedirs(os.path.join(vdir, "img1"), exist_ok=True)
         os.makedirs(os.path.join(vdir, "gt"), exist_ok=True)
-        bg = rng.integers(40, 140, (H, W, 3), np.uint8)
-        # object state: position, velocity, size, texture
-        pos = rng.uniform([0, 0], [W - 60, H - 60], (N_OBJ, 2))
-        vel = rng.uniform(-6, 6, (N_OBJ, 2))
-        size = rng.integers(28, 52, (N_OBJ, 2))
-        tex = [rng.integers(100, 255, (size[i, 1], size[i, 0], 3), np.uint8)
-               for i in range(N_OBJ)]
+        bg = rng.integers(40, 140, (wh, ww, 3), np.uint8)
+        n_obj = int(rng.integers(12, 17))
+        pos = rng.uniform([0, 0], [ww - 60, wh - 60], (n_obj, 2))
+        vel = rng.uniform(-6, 6, (n_obj, 2))
+        size = rng.integers(20, 44, (n_obj, 2)).astype(np.float64)
+        tex = [rng.integers(100, 255, (int(size[i, 1]), int(size[i, 0]), 3),
+                            np.uint8) for i in range(n_obj)]
+        # per-object scale oscillation + appearance (brightness) drift
+        s_amp = rng.uniform(0.05, 0.25, n_obj)
+        s_frq = rng.uniform(0.05, 0.2, n_obj)
+        s_phi = rng.uniform(0, 2 * np.pi, n_obj)
+        a_amp = rng.uniform(0.05, 0.2, n_obj)
+        a_frq = rng.uniform(0.05, 0.2, n_obj)
+        a_phi = rng.uniform(0, 2 * np.pi, n_obj)
+        # camera pan: smooth sinusoidal viewport offset inside the margin
+        c_amp = rng.uniform(0.3, 1.0, 2) * (PAD - 4)
+        c_frq = rng.uniform(0.04, 0.12, 2)
+        c_phi = rng.uniform(0, 2 * np.pi, 2)
+        zorder = rng.permutation(n_obj)      # fixed depth order -> occlusion
         lines = []
         for t in range(1, n_frames + 1):
             img = bg.copy()
-            order = rng.permutation(N_OBJ)
-            for i in order:
-                x, y = pos[i]
-                w, h = size[i]
-                xi, yi = int(round(x)), int(round(y))
-                img[yi:yi + h, xi:xi + w] = tex[i]
-                lines.append(f"{t},{i + 1},{xi},{yi},{w},{h},1,1,1\n")
-            PIL.Image.fromarray(img).save(
+            cam = (PAD + c_amp * np.sin(c_frq * t + c_phi)).astype(int)
+            boxes = []
+            for i in zorder:
+                sc = 1.0 + s_amp[i] * np.sin(s_frq[i] * t + s_phi[i])
+                w_i = max(10, int(round(size[i, 0] * sc)))
+                h_i = max(10, int(round(size[i, 1] * sc)))
+                xi = int(round(pos[i, 0]))
+                yi = int(round(pos[i, 1]))
+                xi = min(max(xi, 0), ww - w_i)
+                yi = min(max(yi, 0), wh - h_i)
+                bright = 1.0 + a_amp[i] * np.sin(a_frq[i] * t + a_phi[i])
+                # nearest-neighbor texture rescale + brightness drift
+                ry = (np.arange(h_i) * tex[i].shape[0]) // h_i
+                rx = (np.arange(w_i) * tex[i].shape[1]) // w_i
+                patch = np.clip(tex[i][ry][:, rx].astype(np.float32)
+                                * bright, 0, 255).astype(np.uint8)
+                img[yi:yi + h_i, xi:xi + w_i] = patch
+                boxes.append((i, xi, yi, w_i, h_i))
+            # viewport crop; GT clipped to view, kept when >=30% visible
+            view = img[cam[1]:cam[1] + H, cam[0]:cam[0] + W]
+            for i, xi, yi, w_i, h_i in boxes:
+                vx0 = max(xi - cam[0], 0)
+                vy0 = max(yi - cam[1], 0)
+                vx1 = min(xi - cam[0] + w_i, W)
+                vy1 = min(yi - cam[1] + h_i, H)
+                if vx1 <= vx0 or vy1 <= vy0:
+                    continue
+                if (vx1 - vx0) * (vy1 - vy0) < 0.3 * w_i * h_i:
+                    continue
+                lines.append(f"{t},{i + 1},{vx0},{vy0},{vx1 - vx0},"
+                             f"{vy1 - vy0},1,1,1\n")
+            PIL.Image.fromarray(view).save(
                 os.path.join(vdir, "img1", f"{t:08d}.jpg"))
             pos += vel
-            for d, lim in ((0, W), (1, H)):
+            for d, lim in ((0, ww), (1, wh)):
                 over = (pos[:, d] < 0) | (pos[:, d] + size[:, d] > lim)
                 vel[over, d] *= -1
                 pos[:, d] = np.clip(pos[:, d], 0, lim - size[:, d])
@@ -74,7 +122,7 @@ def base_config(root: str, outdir: str, encoder_type: str,
         "HIDDEN_DIM": 64, "FFN_DIM": 256, "NUM_FEATURE_LEVELS": 4,
         "NUM_HEADS": 8, "NUM_ENC_POINTS": 4, "NUM_DEC_POINTS": 4,
         "NUM_ENC_LAYERS": 3, "NUM_DEC_LAYERS": 3, "MERGE_DET_TRACK_LAYER": 1,
-        "NUM_DET_QUERIES": 30, "DROPOUT": 0.0, "USE_DAB": True,
+        "NUM_DET_QUERIES": 40, "DROPOUT": 0.0, "USE_DAB": True,
         "UPDATE_THRESH": 0.5, "LONG_MEMORY_LAMBDA": 0.01,
         "USE_CHECKPOINT": False, "CHECKPOINT_LEVEL": 2, "AUX_LOSS": True,
         "EXTRA_TRACK_ATTN": False, "PRETRAINED_MODEL": None, "RESUME": None,
@@ -90,7 +138,7 @@ def base_config(root: str, outdir: str, encoder_type: str,
         "NO_GRAD_FRAMES": None,
         "MATCH_COST_CLASS": 2, "MATCH_COST_BBOX": 5, "MATCH_COST_GIOU": 2,
         "LOSS_WEIGHT_FOCAL": 2, "LOSS_WEIGHT_L1": 5, "LOSS_WEIGHT_GIOU": 2,
-        "AUX_LOSS_WEIGHT": [1.0, 1.0], "TRACK_SLOTS": 16, "MAX_GTS": 16,
+        "AUX_LOSS_WEIGHT": [1.0, 1.0], "TRACK_SLOTS": 24, "MAX_GTS": 20,
         "DTYPE": "float32", "MSDA_IMPL": "xla", "TP_DROP_RATE": 0.0,
         "FP_INSERT_RATE": 0.0, "MULTI_CHECKPOINT": False,
         "DET_SCORE_THRESH": 0.5, "TRACK_SCORE_THRESH": 0.5,
@@ -106,23 +154,61 @@ def base_config(root: str, outdir: str, encoder_type: str,
     }
 
 
-# named variants: (encoder_type, config overrides).  The plain pair is the
-# controlled comparison; extra rows probe windowed-encoder scaling (its
-# layers are ~40x cheaper on-chip than exact deformable ones, so a deeper
-# stack is still far below the deformable encoder's wall-clock).
+# named variants: (encoder_type, config overrides).  "@teacher" resolves to
+# the deformable seed-42 teacher checkpoint of the same workdir/epochs (train
+# it first: variant "deformable", seed 42).
 VARIANTS = {
     "windowed": ("windowed", {}),
     "deformable": ("deformable", {}),
+    "conv": ("conv", {}),
+    "hybrid": ("hybrid", {}),
+    "hybrid_lvl2": ("hybrid", {"HYBRID_DEFORM_MIN_LEVEL": 2}),
     "windowed_enc6": ("windowed", {"NUM_ENC_LAYERS": 6}),
     "deformable_enc6": ("deformable", {"NUM_ENC_LAYERS": 6}),
     "windowed_enc4": ("windowed", {"NUM_ENC_LAYERS": 4}),
     "windowed_win12": ("windowed", {"WINDOW_SIZE": 12}),
-    "conv": ("conv", {}),
     "conv_enc6": ("conv", {"NUM_ENC_LAYERS": 6}),
     "windowed_prenorm": ("windowed", {"WINDOWED_PRENORM": True}),
     "windowed_prenorm_enc6": ("windowed", {"WINDOWED_PRENORM": True,
                                            "NUM_ENC_LAYERS": 6}),
+    "windowed_sharedcpb": ("windowed", {"WINDOWED_SHARED_CPB": True}),
+    # quality levers (VERDICT.md round-3 items 2/4)
+    "windowed_transplant": ("windowed", {"PRETRAINED_MODEL": "@teacher"}),
+    "windowed_distill": ("windowed", {"DISTILL_TEACHER": "@teacher"}),
+    "windowed_transplant_distill": ("windowed",
+                                    {"PRETRAINED_MODEL": "@teacher",
+                                     "DISTILL_TEACHER": "@teacher"}),
+    "hybrid_transplant": ("hybrid", {"PRETRAINED_MODEL": "@teacher"}),
+    # deployment-width head-to-head (VERDICT.md round-3 item 3)
+    "deformable_w256": ("deformable", {"HIDDEN_DIM": 256, "FFN_DIM": 1024}),
+    "windowed_w256": ("windowed", {"HIDDEN_DIM": 256, "FFN_DIM": 1024}),
+    "hybrid_w256": ("hybrid", {"HIDDEN_DIM": 256, "FFN_DIM": 1024}),
+    "windowed_w256_pre6": ("windowed", {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
+                                        "WINDOWED_PRENORM": True,
+                                        "NUM_ENC_LAYERS": 6}),
 }
+
+
+def run_dir(workdir: str, name: str, seed: int) -> str:
+    # seed-suffixed outdir: rerunning another seed never reuses a previous
+    # seed's cache (ADVICE.md round-2)
+    return os.path.join(workdir, f"{name}_s{seed}")
+
+
+def teacher_ckpt(workdir: str, epochs: int) -> str:
+    return os.path.join(run_dir(workdir, "deformable", 42),
+                        f"checkpoint_{epochs - 1}")
+
+
+def metrics_of(workdir: str, name: str, seed: int, epochs: int):
+    done = os.path.join(run_dir(workdir, name, seed), "val",
+                        f"checkpoint_{epochs - 1}_metrics.json")
+    if os.path.isfile(done):
+        with open(done) as f:
+            metrics = json.load(f)
+        return {k: round(float(metrics[k]), 3) for k in
+                ("HOTA", "DetA", "AssA", "MOTA", "IDF1") if k in metrics}
+    return None
 
 
 def run_variant(root: str, workdir: str, name: str, epochs: int,
@@ -131,42 +217,73 @@ def run_variant(root: str, workdir: str, name: str, epochs: int,
     from memotr_tpu.engine.eval import eval_model
     from memotr_tpu.log.logger import Logger
 
+    got = metrics_of(workdir, name, seed, epochs)
+    if got is not None:        # already trained+scored: reuse
+        return got
     encoder_type, overrides = VARIANTS[name]
-    outdir = os.path.join(workdir, name)
+    outdir = run_dir(workdir, name, seed)
     cfg = base_config(root, outdir, encoder_type, epochs)
     cfg.update(overrides)
     cfg["SEED"] = seed
-    done = os.path.join(outdir, "val",
-                        f"checkpoint_{epochs - 1}_metrics.json")
-    if os.path.isfile(done):      # variant already trained+scored: reuse
-        with open(done) as f:
-            metrics = json.load(f)
-        return {k: round(float(metrics[k]), 3) for k in
-                ("HOTA", "DetA", "AssA", "MOTA", "IDF1") if k in metrics}
+    for key in ("PRETRAINED_MODEL", "DISTILL_TEACHER"):
+        if cfg.get(key) == "@teacher":
+            t = teacher_ckpt(workdir, epochs)
+            assert os.path.isdir(t), \
+                f"{name} needs the deformable seed-42 teacher first ({t})"
+            cfg[key] = t
     train(cfg)
     ckpt = f"checkpoint_{epochs - 1}"
     metrics = eval_model(dict(cfg), outdir, ckpt,
                          Logger(logdir=os.path.join(outdir, "val")))
-    keep = {k: round(float(metrics[k]), 3) for k in
+    return {k: round(float(metrics[k]), 3) for k in
             ("HOTA", "DetA", "AssA", "MOTA", "IDF1") if k in metrics}
-    return keep
+
+
+def ensure_data(workdir: str) -> str:
+    root = os.path.join(workdir, "data")
+    marker = os.path.join(root, ".proxy_v2")
+    if not os.path.isfile(marker):
+        make_synvalue(root, "train", N_TRAIN_SEQS, N_FRAMES, seed=3)
+        make_synvalue(root, "val", N_VAL_SEQS, N_FRAMES, seed=99)
+        with open(marker, "w") as f:
+            f.write("proxy v2\n")
+    return root
 
 
 if __name__ == "__main__":
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_eval"
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     names = sys.argv[3].split(",") if len(sys.argv) > 3 \
         else ["windowed", "deformable"]
-    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
-    root = os.path.join(workdir, "data")
-    if not os.path.isdir(os.path.join(root, "DanceTrack", "train")):
-        make_synvalue(root, "train", 6, 40, seed=3)
-        make_synvalue(root, "val", 3, 40, seed=99)
+    seeds = [int(s) for s in sys.argv[4].split(",")] if len(sys.argv) > 4 \
+        else [42]
+    single = "--single" in sys.argv
+    root = ensure_data(workdir)
+
     results = {}
-    for enc in names:
-        print(f"=== training {enc} ===", flush=True)
-        results[enc] = run_variant(root, workdir, enc, epochs, seed)
-        print(enc, results[enc], flush=True)
+    for name in names:
+        for seed in seeds:
+            key = f"{name}_s{seed}"
+            got = metrics_of(workdir, name, seed, epochs)
+            if got is None and not single:
+                # fresh subprocess per run: crash isolation + bounded memory
+                print(f"=== training {key} ===", flush=True)
+                rc = subprocess.call(
+                    [sys.executable, os.path.abspath(__file__), workdir,
+                     str(epochs), name, str(seed), "--single"])
+                if rc != 0:
+                    print(f"!!! {key} failed rc={rc}", flush=True)
+                    continue
+                got = metrics_of(workdir, name, seed, epochs)
+            elif got is None:
+                import jax
+                jax.config.update("jax_compilation_cache_dir",
+                                  "/root/repo/.jax_cache")
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 5.0)
+                got = run_variant(root, workdir, name, epochs, seed)
+            results[key] = got
+            print(key, got, flush=True)
     with open(os.path.join(workdir, "flagship_eval.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

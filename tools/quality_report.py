@@ -1,0 +1,80 @@
+"""Aggregate seed-replicated proxy runs into a mean +- std report.
+
+Reads every ``<workdir>/<variant>_s<seed>/val/checkpoint_<E>_metrics.json``
+written by tools/flagship_eval.py, groups by variant, and prints a table with
+mean, std, and n per metric, plus the noise bar (largest per-variant std —
+the minimum detectable effect for single comparisons is ~2x that).
+
+Usage: python tools/quality_report.py <workdir> [out.json]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+METRICS = ("HOTA", "DetA", "AssA", "MOTA", "IDF1")
+
+
+def collect(workdir: str) -> dict:
+    runs = {}
+    for path in sorted(glob.glob(os.path.join(
+            workdir, "*_s*", "val", "checkpoint_*_metrics.json"))):
+        run = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        m = re.match(r"(.+)_s(\d+)$", run)
+        if not m:
+            continue
+        variant, seed = m.group(1), int(m.group(2))
+        with open(path) as f:
+            metrics = json.load(f)
+        runs.setdefault(variant, {})[seed] = {
+            k: float(metrics[k]) for k in METRICS if k in metrics}
+    return runs
+
+
+def aggregate(runs: dict) -> dict:
+    out = {}
+    for variant, by_seed in sorted(runs.items()):
+        agg = {"n": len(by_seed), "seeds": sorted(by_seed)}
+        for k in METRICS:
+            vals = [v[k] for v in by_seed.values() if k in v]
+            if vals:
+                agg[k] = {"mean": round(float(np.mean(vals)), 2),
+                          "std": round(float(np.std(vals, ddof=1)), 2)
+                          if len(vals) > 1 else 0.0,
+                          "values": [round(v, 2) for v in vals]}
+        out[variant] = agg
+    return out
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_eval"
+    agg = aggregate(collect(workdir))
+    hdr = f"{'variant':32s} {'n':>2s}  " + "  ".join(
+        f"{k:>12s}" for k in ("HOTA", "DetA", "AssA"))
+    print(hdr)
+    stds = []
+    for variant, a in sorted(agg.items(),
+                             key=lambda kv: -kv[1].get("HOTA", {})
+                             .get("mean", 0)):
+        row = f"{variant:32s} {a['n']:2d}  "
+        for k in ("HOTA", "DetA", "AssA"):
+            if k in a:
+                row += f"{a[k]['mean']:6.2f}+-{a[k]['std']:4.2f}  "
+                if k == "HOTA" and a["n"] > 1:
+                    stds.append(a[k]["std"])
+        print(row)
+    if stds:
+        print(f"\nnoise bar: max per-variant HOTA std = {max(stds):.2f} "
+              f"(min detectable single-pair effect ~{2 * max(stds):.1f})")
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            json.dump(agg, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
