@@ -32,9 +32,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 A100_BASELINE_FPS = 10.0
 
 # Deployment flagship shape (must match configs/train_dancetrack_windowed.yaml
-# and QUALITY.md's evidence for that config).
-FLAGSHIP = {"encoder_type": "windowed", "n_enc_layers": 6,
-            "shared_cpb": False}
+# and QUALITY.md's evidence for that config).  Env overrides (BENCH_ENCODER /
+# BENCH_LAYERS / BENCH_SHARED_CPB) exist for candidate-shape A/B timing only.
+import os as _os
+
+FLAGSHIP = {
+    "encoder_type": _os.environ.get("BENCH_ENCODER", "windowed"),
+    "n_enc_layers": int(_os.environ.get("BENCH_LAYERS", "6")),
+    "shared_cpb": _os.environ.get("BENCH_SHARED_CPB", "0") == "1",
+}
 
 
 def _flagship_model_updater(encoder_type: str, n_enc_layers: int,

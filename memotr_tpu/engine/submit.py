@@ -64,10 +64,22 @@ def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
             results["ids"][lane], results["labels"][lane])
 
 
+_EVAL_STEP_CACHE: Dict[tuple, "object"] = {}
+
+
 def make_eval_step(model, updater, n_det: int, det_thresh: float,
                    track_thresh: float, miss_tolerance: int):
     """Jitted streaming step: (params, uparams, images, mask, state) ->
-    (results, state)."""
+    (results, state).
+
+    Memoized per (model, updater, thresholds): every Submitter (one per
+    sequence) must share one jitted function — a fresh closure per sequence
+    forces a full re-trace each time (~minutes of host work per sequence on
+    this box even when the persistent compile cache hits)."""
+    key = (id(model), id(updater), n_det, det_thresh, track_thresh,
+           miss_tolerance)
+    if key in _EVAL_STEP_CACHE:
+        return _EVAL_STEP_CACHE[key][0]
 
     def step(params, uparams, images, mask, state):
         frames = PaddedFrames(images=images, mask=mask)
@@ -87,7 +99,11 @@ def make_eval_step(model, updater, n_det: int, det_thresh: float,
         }
         return results, state
 
-    return jax.jit(step, donate_argnums=(4,))
+    jitted = jax.jit(step, donate_argnums=(4,))
+    # hold the module refs: id() keys must not be recycled by the GC while
+    # the cache entry lives
+    _EVAL_STEP_CACHE[key] = (jitted, model, updater)
+    return jitted
 
 
 class Submitter:
