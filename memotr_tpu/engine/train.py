@@ -260,6 +260,10 @@ def train(config: dict):
 
     rng = jax.random.PRNGKey(config["SEED"])
     multi_checkpoint = bool(config.get("MULTI_CHECKPOINT", False))
+    from ..utils.debug_dump import DebugDumper
+    train_dumper = DebugDumper(
+        os.path.join(config["OUTPUTS_DIR"], "visualize_train"),
+        enabled=bool(config.get("VISUALIZE", False)))
 
     for epoch in range(states["start_epoch"], config["EPOCHS"]):
         dataloader.set_epoch(epoch)
@@ -305,6 +309,12 @@ def train(config: dict):
                         state = apply_step(state, grad_accum, lrs)
                         grad_accum = None
             logs = jax.device_get(logs)
+            debug = logs.pop("debug", None)
+            if debug is not None:
+                # reference dumps decoder/updater internals during training
+                # (deformable_decoder.py:97-136, query_updater.py:86-97)
+                train_dumper.dump_frame(states["global_iters"],
+                                        results=debug)
             for k, v in logs.items():
                 metric_log.update(k, float(np.asarray(v)))
             metric_log.update("time per iter", time.time() - it_t0)

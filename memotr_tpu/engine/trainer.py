@@ -213,6 +213,10 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
                     deterministic=True))
                 dterms = distill_frame_losses(out, t_out,
                                               model.n_det_queries)
+            dbg_out = {}
+            if cs.get("visualize"):
+                dbg_out = {k: jax.lax.stop_gradient(out[k]) for k in
+                           ("pred_logits", "pred_boxes", "last_ref_pts")}
             losses, n_gts, state, new_cand, um_cand = criterion.process_frame(
                 out, state, gt)
             if f < t - 1:   # last frame skips postprocess (train_engine:213)
@@ -223,18 +227,33 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
                 state = apply_query_updater(
                     updater, up, state, deterministic=deterministic,
                     rngs=None if deterministic else {"dropout": r_upd})
-            return losses, n_gts, state, dterms
+            return losses, n_gts, state, dterms, dbg_out
 
         if no_grad:
-            losses, n_gts, state, dterms = jax.lax.stop_gradient(
+            losses, n_gts, state, dterms, dbg_out = jax.lax.stop_gradient(
                 frame_body(state, trainable))
         else:
-            losses, n_gts, state, dterms = frame_body(state, trainable)
+            losses, n_gts, state, dterms, dbg_out = frame_body(
+                state, trainable)
 
         for k, v in dterms.items():
             w = distill["weights"].get(k, 1.0)
             distill_acc = distill_acc + w * v / t
             frame_logs[k] = frame_logs.get(k, 0.0) + v / t
+
+        if cs.get("visualize"):
+            # training-path VISUALIZE: per-frame decoder outputs + post-
+            # update track state, dumped by the train loop (the reference
+            # dumps decoder/updater internals during training too,
+            # deformable_decoder.py:97-136, query_updater.py:86-97)
+            dbg = frame_logs.setdefault("debug", {})
+            for k, v in dbg_out.items():
+                dbg[f"frame{f}.{k}"] = v
+            dbg[f"frame{f}.track_query_embed"] = jax.lax.stop_gradient(
+                state.query_embed)
+            dbg[f"frame{f}.track_long_memory"] = jax.lax.stop_gradient(
+                state.long_memory)
+            dbg[f"frame{f}.track_mask"] = state.mask
 
         for k, v in losses.items():
             loss_acc[k] = loss_acc.get(k, 0.0) + v * cs["frame_weight"]
@@ -278,6 +297,7 @@ def static_config(config: dict, model, world_size: int = 1) -> Dict:
         "tp_drop_ratio": cfg_get(config, "TP_DROP_RATE", 0.0),
         "fp_insert_ratio": cfg_get(config, "FP_INSERT_RATE", 0.0),
         "no_grad_frames": 0 if no_grad is None else no_grad,
+        "visualize": bool(config.get("VISUALIZE", False)),
         "dropout": config.get("DROPOUT", 0.0),
         "frame_weight": 1.0,
         "world_size": world_size,

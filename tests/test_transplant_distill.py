@@ -179,3 +179,33 @@ def test_distill_train_step_runs_and_flows(tmp_path):
             lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
             new_state.params, before), False)
     assert moved
+
+
+def test_visualize_train_debug_outputs():
+    """VISUALIZE adds per-frame decoder outputs + post-update track state to
+    the step logs (training-path dumps, reference
+    deformable_decoder.py:97-136 / query_updater.py:86-97)."""
+    cfg = _tiny_cfg("windowed", VISUALIZE=True)
+    model = build_model(cfg)
+    updater = build_query_updater(cfg)
+    variables, uvars = init_model_params(cfg, model, updater, seed=1)
+    criterion = build_criterion(cfg)
+    optimizer = make_optimizer(cfg)
+    state = init_train_state(variables["params"], uvars["params"], optimizer)
+    labels = label_tree(state.params)
+    cs = static_config(cfg, model)
+    assert cs["visualize"]
+    step = make_train_step(model, updater, criterion, optimizer, cs, labels)
+    lrs = {k: jnp.asarray(v, jnp.float32)
+           for k, v in group_lrs(cfg, 0).items()}
+    _, logs = step(state, {"frozen": variables["frozen"]}, _batch(),
+                   jax.random.PRNGKey(0), lrs)
+    dbg = logs["debug"]
+    for f in range(2):
+        for k in ("pred_logits", "pred_boxes", "last_ref_pts",
+                  "track_query_embed", "track_long_memory", "track_mask"):
+            assert f"frame{f}.{k}" in dbg, (f, k)
+    assert dbg["frame0.pred_boxes"].shape[1] == 6 + 4  # det + slots
+    # visualize off -> no debug key in logs
+    cs2 = static_config(_tiny_cfg("windowed"), model)
+    assert not cs2["visualize"]

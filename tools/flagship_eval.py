@@ -268,9 +268,17 @@ if __name__ == "__main__":
             if got is None and not single:
                 # fresh subprocess per run: crash isolation + bounded memory
                 print(f"=== training {key} ===", flush=True)
-                rc = subprocess.call(
-                    [sys.executable, os.path.abspath(__file__), workdir,
-                     str(epochs), name, str(seed), "--single"])
+                try:
+                    # hard per-run timeout: a wedged device claim (e.g. a
+                    # relay restart killing the connection mid-step) must
+                    # not stall the whole campaign chain
+                    rc = subprocess.call(
+                        [sys.executable, os.path.abspath(__file__), workdir,
+                         str(epochs), name, str(seed), "--single"],
+                        timeout=3600)
+                except subprocess.TimeoutExpired:
+                    print(f"!!! {key} timed out after 3600s", flush=True)
+                    continue
                 if rc != 0:
                     print(f"!!! {key} failed rc={rc}", flush=True)
                     continue
