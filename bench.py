@@ -40,11 +40,13 @@ FLAGSHIP = {
     "encoder_type": _os.environ.get("BENCH_ENCODER", "windowed"),
     "n_enc_layers": int(_os.environ.get("BENCH_LAYERS", "6")),
     "shared_cpb": _os.environ.get("BENCH_SHARED_CPB", "0") == "1",
+    "hybrid_min_level": int(_os.environ.get("BENCH_HYBRID_MINLVL", "1")),
 }
 
 
 def _flagship_model_updater(encoder_type: str, n_enc_layers: int,
-                            shared_cpb: bool = False):
+                            shared_cpb: bool = False,
+                            hybrid_min_level: int = 1):
     import jax.numpy as jnp
     from memotr_tpu.models.memotr import MeMOTR
     from memotr_tpu.models.query_updater import QueryUpdater
@@ -54,7 +56,8 @@ def _flagship_model_updater(encoder_type: str, n_enc_layers: int,
                    n_enc_layers=n_enc_layers, n_dec_layers=6,
                    merge_det_track_layer=1, use_dab=True, dtype=jnp.bfloat16,
                    msda_impl="auto", encoder_type=encoder_type,
-                   windowed_shared_cpb=shared_cpb)
+                   windowed_shared_cpb=shared_cpb,
+                   hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
                            dtype=jnp.bfloat16)
     return model, updater
@@ -165,6 +168,7 @@ def main():
         return bench_e2e()
     batch = 1
     n_enc_layers, shared_cpb = 6, False
+    hybrid_min_level = FLAGSHIP["hybrid_min_level"]
     if variant == "flagship":
         encoder_type = FLAGSHIP["encoder_type"]
         n_enc_layers = FLAGSHIP["n_enc_layers"]
@@ -185,7 +189,8 @@ def main():
                    n_enc_layers=n_enc_layers,
                    n_dec_layers=6, merge_det_track_layer=1, use_dab=True,
                    dtype=dtype, msda_impl="auto", encoder_type=encoder_type,
-                   windowed_shared_cpb=shared_cpb)
+                   windowed_shared_cpb=shared_cpb,
+                   hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
                            dtype=dtype)
 
