@@ -19,7 +19,13 @@ from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 class SeqDataset:
     def __init__(self, seq_dir: str, image_height: int = 800,
-                 image_width: int = 1536, use_native: bool = True):
+                 image_width: int = 1536, use_native: bool = True,
+                 uint8: bool = False):
+        """``uint8=True`` returns the resized RGB canvas as raw uint8 and
+        leaves ImageNet normalization to the device (engine/submit.py
+        ``_maybe_normalize``) — 4x fewer host->device bytes per streamed
+        frame.  The fused f32 native data plane serves the default path."""
+        self.uint8 = uint8
         if "BDD100K" in seq_dir:
             names = sorted(os.listdir(seq_dir))
             self.image_paths = [os.path.join(seq_dir, n) for n in names
@@ -76,6 +82,21 @@ class SeqDataset:
 
     def __getitem__(self, item):
         path = self.image_paths[item]
+        if self.uint8:
+            image = self.load(path)
+            h, w = image.shape[:2]
+            scale = self.image_height / min(h, w)
+            if max(h, w) * scale > self.image_width:
+                scale = self.image_width / max(h, w)
+            th, tw = int(h * scale), int(w * scale)
+            resized = cv2.resize(image, (tw, th))
+            H, W = self.padded_canvas()
+            canvas = np.zeros((H, W, 3), np.uint8)
+            mask = np.ones((H, W), bool)
+            canvas[:th, :tw] = resized
+            mask[:th, :tw] = False
+            return {"image": canvas, "mask": mask, "ori_hw": (h, w),
+                    "resized_hw": (th, tw), "path": path}
         if self._native:
             from .native import decode_sync
             out = decode_sync(path, self.image_height, self.image_width,

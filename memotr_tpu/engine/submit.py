@@ -67,22 +67,24 @@ def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
 _EVAL_STEP_CACHE: Dict[tuple, "object"] = {}
 
 
-def make_eval_step(model, updater, n_det: int, det_thresh: float,
-                   track_thresh: float, miss_tolerance: int):
-    """Jitted streaming step: (params, uparams, images, mask, state) ->
-    (results, state).
+def _maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """On-device ImageNet normalization for raw uint8 frames.
 
-    Memoized per (model, updater, thresholds): every Submitter (one per
-    sequence) must share one jitted function — a fresh closure per sequence
-    forces a full re-trace each time (~minutes of host work per sequence on
-    this box even when the persistent compile cache hits)."""
-    key = (id(model), id(updater), n_det, det_thresh, track_thresh,
-           miss_tolerance)
-    if key in _EVAL_STEP_CACHE:
-        return _EVAL_STEP_CACHE[key][0]
+    Shipping uint8 to the device quarters the host->device bytes per frame
+    (the per-frame transfer is the streaming bottleneck through any
+    host link); the normalize then rides the compiled step."""
+    if images.dtype == jnp.uint8:
+        from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        images = (images.astype(jnp.float32) / 255.0 - mean) / std
+    return images
 
+
+def _eval_core(model, updater, n_det: int, det_thresh: float,
+               track_thresh: float, miss_tolerance: int):
     def step(params, uparams, images, mask, state):
-        frames = PaddedFrames(images=images, mask=mask)
+        frames = PaddedFrames(images=_maybe_normalize(images), mask=mask)
         out = model_forward(model, params, frames, state, deterministic=True)
         state, overflow = runtime_tracker_step(
             state, out, n_det, det_thresh, track_thresh, miss_tolerance,
@@ -99,9 +101,62 @@ def make_eval_step(model, updater, n_det: int, det_thresh: float,
         }
         return results, state
 
+    return step
+
+
+def make_eval_step(model, updater, n_det: int, det_thresh: float,
+                   track_thresh: float, miss_tolerance: int):
+    """Jitted streaming step: (params, uparams, images, mask, state) ->
+    (results, state).  uint8 images are ImageNet-normalized on device.
+
+    Memoized per (model, updater, thresholds): every Submitter (one per
+    sequence) must share one jitted function — a fresh closure per sequence
+    forces a full re-trace each time (~minutes of host work per sequence on
+    this box even when the persistent compile cache hits)."""
+    key = ("dict", id(model), id(updater), n_det, det_thresh, track_thresh,
+           miss_tolerance)
+    if key in _EVAL_STEP_CACHE:
+        return _EVAL_STEP_CACHE[key][0]
+    step = _eval_core(model, updater, n_det, det_thresh, track_thresh,
+                      miss_tolerance)
     jitted = jax.jit(step, donate_argnums=(4,))
     # hold the module refs: id() keys must not be recycled by the GC while
     # the cache entry lives
+    _EVAL_STEP_CACHE[key] = (jitted, model, updater)
+    return jitted
+
+
+def make_eval_step_packed(model, updater, n_det: int, det_thresh: float,
+                          track_thresh: float, miss_tolerance: int):
+    """Streaming step for the pipelined submit path: returns ONE packed
+    (B, S, 9) float32 array [id, label, cx, cy, w, h, score, mask, overflow]
+    instead of a dict of per-field arrays, so the writer thread needs a
+    single device fetch per frame and — critically — the packed buffer does
+    NOT alias the TrackState outputs (the next dispatch donates the state;
+    aliased results fetched late would read deleted buffers)."""
+    key = ("packed", id(model), id(updater), n_det, det_thresh, track_thresh,
+           miss_tolerance)
+    if key in _EVAL_STEP_CACHE:
+        return _EVAL_STEP_CACHE[key][0]
+    core = _eval_core(model, updater, n_det, det_thresh, track_thresh,
+                      miss_tolerance)
+
+    def step(params, uparams, images, mask, state):
+        results, state = core(params, uparams, images, mask, state)
+        b, s = results["ids"].shape
+        over = jnp.broadcast_to(
+            results["slot_overflow"].astype(jnp.float32), (b, s))
+        packed = jnp.concatenate([
+            results["ids"][..., None].astype(jnp.float32),
+            results["labels"][..., None].astype(jnp.float32),
+            results["boxes"].astype(jnp.float32),
+            results["scores"][..., None].astype(jnp.float32),
+            results["mask"][..., None].astype(jnp.float32),
+            over[..., None],
+        ], axis=-1)
+        return packed, state
+
+    jitted = jax.jit(step, donate_argnums=(4,))
     _EVAL_STEP_CACHE[key] = (jitted, model, updater)
     return jitted
 
@@ -131,13 +186,27 @@ class Submitter:
             self.motion_bank = MotionBank(
                 config.get("MOTION_MIN_LENGTH", 3),
                 config.get("MOTION_MAX_LENGTH", 5))
+        # The default streaming loop is pipelined: raw uint8 frames are
+        # uploaded ahead by the prefetch thread (4x fewer host->device bytes
+        # than f32, normalized on device), the host dispatches steps without
+        # waiting, and a writer thread fetches each frame's packed results
+        # and writes them in order — decode, upload, device step and result
+        # fetch all overlap.  VISUALIZE and USE_MOTION need per-frame host
+        # state, so they fall back to the synchronous loop.
+        self.pipelined = not (config.get("VISUALIZE")
+                              or config.get("USE_MOTION"))
         self.dataset = SeqDataset(
             seq_dir,
             image_height=cfg_get(config, "EVAL_SHORT_SIDE", 800),
-            image_width=cfg_get(config, "EVAL_MAX_SIDE", 1536))
+            image_width=cfg_get(config, "EVAL_MAX_SIDE", 1536),
+            uint8=self.pipelined)
         self.step = make_eval_step(model, updater, model.n_det_queries,
                                    self.det_thresh, self.track_thresh,
                                    self.miss_tolerance)
+        if self.pipelined:
+            self.step_packed = make_eval_step_packed(
+                model, updater, model.n_det_queries, self.det_thresh,
+                self.track_thresh, self.miss_tolerance)
         from ..utils.debug_dump import DebugDumper
         self.dumper = DebugDumper(
             os.path.join(outputs_dir, "visualize", seq_name),
@@ -173,7 +242,49 @@ class Submitter:
         with ctx:
             return self._run_inner()
 
+    def _write_frame(self, i: int, results: Dict, ori_hw,
+                     path: str, bdd_results: List[Dict]):
+        """Filter one frame's (host numpy) results and write them."""
+        keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
+            results, ori_hw, self.result_thresh, self.area_thresh)
+        if self.dataset_name == "BDD100K":
+            img_name = os.path.basename(path)
+            frame_result = {
+                "name": img_name, "videoName": img_name[:-12],
+                "frameIndex": i, "labels": []}
+            for j in keep_idx:
+                frame_result["labels"].append({
+                    "id": str(int(ids[j])),
+                    "category": BDD_LABEL_NAMES[int(labels[j])],
+                    "box2d": {"x1": float(x1[j]), "y1": float(y1[j]),
+                              "x2": float(x1[j] + w[j]),
+                              "y2": float(y1[j] + h[j])}})
+            bdd_results.append(frame_result)
+        else:
+            with open(os.path.join(self.predict_dir,
+                                   f"{self.seq_name}.txt"), "a") as f:
+                for j in keep_idx:
+                    f.write(f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
+                            f"{w[j]},{h[j]},1,-1,-1,-1\n")
+
+    def _finish(self, bdd_results: List[Dict], overflow_total: int):
+        if self.dataset_name == "BDD100K":
+            with open(os.path.join(self.predict_dir,
+                                   f"{self.seq_name}.json"), "w") as f:
+                json.dump(bdd_results, f)
+        if overflow_total:
+            print(f"[submit {self.seq_name}] WARNING: {overflow_total} "
+                  f"newborn tracks dropped (all {self.track_slots} slots "
+                  f"full) — raise TRACK_SLOTS", flush=True)
+
     def _run_inner(self) -> float:
+        if self.pipelined:
+            return self._run_pipelined()
+        return self._run_sync()
+
+    def _run_sync(self) -> float:
+        """Per-frame synchronous loop (VISUALIZE / USE_MOTION paths that
+        need host state each frame)."""
         import time
         state = TrackState.empty(
             1, self.track_slots, self.hidden_dim, self.model.num_classes,
@@ -193,39 +304,85 @@ class Submitter:
             self.dumper.dump_frame(i, results=results, state=state)
             if self.use_motion:
                 state = self._apply_motion(state)
-
-            keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
-                results, item["ori_hw"], self.result_thresh, self.area_thresh)
-
-            if self.dataset_name == "BDD100K":
-                img_name = os.path.basename(item["path"])
-                frame_result = {
-                    "name": img_name, "videoName": img_name[:-12],
-                    "frameIndex": i, "labels": []}
-                for j in keep_idx:
-                    frame_result["labels"].append({
-                        "id": str(int(ids[j])),
-                        "category": BDD_LABEL_NAMES[int(labels[j])],
-                        "box2d": {"x1": float(x1[j]), "y1": float(y1[j]),
-                                  "x2": float(x1[j] + w[j]),
-                                  "y2": float(y1[j] + h[j])}})
-                bdd_results.append(frame_result)
-            else:
-                with open(os.path.join(self.predict_dir,
-                                       f"{self.seq_name}.txt"), "a") as f:
-                    for j in keep_idx:
-                        f.write(f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
-                                f"{w[j]},{h[j]},1,-1,-1,-1\n")
-
-        if self.dataset_name == "BDD100K":
-            with open(os.path.join(self.predict_dir,
-                                   f"{self.seq_name}.json"), "w") as f:
-                json.dump(bdd_results, f)
-        if overflow_total:
-            print(f"[submit {self.seq_name}] WARNING: {overflow_total} "
-                  f"newborn tracks dropped (all {self.track_slots} slots "
-                  f"full) — raise TRACK_SLOTS", flush=True)
+            self._write_frame(i, results, item["ori_hw"], item["path"],
+                              bdd_results)
+        self._finish(bdd_results, overflow_total)
         return device_time
+
+    def _run_pipelined(self) -> float:
+        """Default streaming loop: the main thread only dispatches compiled
+        steps; frame upload (prefetch thread, uint8) and result fetch+write
+        (writer thread, one packed array per frame) overlap with device
+        execution.  Matches the reference loop's outputs exactly
+        (submit_engine.py:58-120) — only the scheduling differs."""
+        import time
+        state = TrackState.empty(
+            1, self.track_slots, self.hidden_dim, self.model.num_classes,
+            use_dab=self.use_dab)
+        bdd_results: List[Dict] = []
+        totals = {"overflow": 0}
+        errs: List[BaseException] = []
+        results_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+
+        def writer():
+            try:
+                while True:
+                    got = results_q.get()
+                    if got is None:
+                        return
+                    i, packed, ori_hw, path = got
+                    arr = np.asarray(jax.device_get(packed))[0]  # (S, 9)
+                    results = {
+                        "ids": arr[:, 0].astype(np.int64)[None],
+                        "labels": arr[:, 1].astype(np.int64)[None],
+                        "boxes": arr[:, 2:6][None],
+                        "scores": arr[:, 6][None],
+                        "mask": (arr[:, 7] > 0.5)[None],
+                    }
+                    totals["overflow"] += int(arr[0, 8])
+                    self._write_frame(i, results, ori_hw, path, bdd_results)
+            except BaseException as e:   # noqa: BLE001 - surfaced below
+                errs.append(e)
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        t0 = time.time()
+        for i, item in enumerate(self._prefetch_device()):
+            packed, state = self.step_packed(
+                self.params, self.uparams, item["image_dev"],
+                item["mask_dev"], state)
+            results_q.put((i, packed, item["ori_hw"], item["path"]))
+            if errs:
+                break
+        results_q.put(None)
+        wt.join()
+        if errs:
+            raise errs[0]
+        device_time = time.time() - t0
+        self._finish(bdd_results, totals["overflow"])
+        return device_time
+
+    def _prefetch_device(self):
+        """Prefetch thread that also uploads: decode i+1/i+2 and push their
+        uint8 canvases to the device while frame i is being processed."""
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+        def worker():
+            try:
+                for i in range(len(self.dataset)):
+                    item = self.dataset[i]
+                    item["image_dev"] = jnp.asarray(item.pop("image"))[None]
+                    item["mask_dev"] = jnp.asarray(item.pop("mask"))[None]
+                    q.put(item)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
 
     def _apply_motion(self, state):
         """Post-hoc motion extrapolation of disappeared tracks' reference
