@@ -172,6 +172,9 @@ VARIANTS = {
     "windowed_prenorm_enc6": ("windowed", {"WINDOWED_PRENORM": True,
                                            "NUM_ENC_LAYERS": 6}),
     "windowed_sharedcpb": ("windowed", {"WINDOWED_SHARED_CPB": True}),
+    # post-norm dense attention without warmup is the classic instability
+    # recipe; the windowed rows' seed spread (QUALITY.md) motivates this knob
+    "windowed_warmup": ("windowed", {"WARMUP_ITERS": 300}),
     # quality levers (VERDICT.md round-3 items 2/4)
     "windowed_transplant": ("windowed", {"PRETRAINED_MODEL": "@teacher"}),
     "windowed_distill": ("windowed", {"DISTILL_TEACHER": "@teacher"}),
@@ -259,12 +262,19 @@ if __name__ == "__main__":
         else [42]
     single = "--single" in sys.argv
     root = ensure_data(workdir)
+    # campaign deadline (epoch seconds): stop LAUNCHING new runs past it so
+    # a queued chain cannot hold the chip into the round-end bench window
+    deadline = float(os.environ.get("FLAGSHIP_EVAL_DEADLINE", "0") or 0)
 
     results = {}
     for name in names:
         for seed in seeds:
             key = f"{name}_s{seed}"
             got = metrics_of(workdir, name, seed, epochs)
+            if got is None and not single and deadline and \
+                    __import__("time").time() > deadline:
+                print(f"!!! deadline passed, skipping {key}", flush=True)
+                continue
             if got is None and not single:
                 # fresh subprocess per run: crash isolation + bounded memory
                 print(f"=== training {key} ===", flush=True)
