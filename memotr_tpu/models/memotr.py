@@ -187,6 +187,22 @@ class MeMOTR(nn.Module):
             "memory": dec["memory"],
             "memory_mask": dec["memory_mask"],
         }
+        if self.token_shard_axis is not None:
+            # Replicate the memory outputs.  When the token count is not
+            # divisible by the mesh (e.g. a 340-token pyramid on 8 devices),
+            # GSPMD canonicalizes the token sharding into a partially-
+            # replicated tiling ([1,4,1,2] last_tile_dim_replicate) that jax
+            # cannot express as a PartitionSpec on the 1-axis mesh, and jit
+            # OUTPUT shardings must be expressible (ValueError in
+            # sharding_impls; tests/test_token_sharding.py).  These outputs
+            # are DCE'd inside the train/streaming steps (only distillation
+            # and raw .apply read them), so the gather costs nothing there.
+            from jax.sharding import PartitionSpec as P
+            rep = P()
+            out["memory"] = jax.lax.with_sharding_constraint(
+                out["memory"], rep)
+            out["memory_mask"] = jax.lax.with_sharding_constraint(
+                out["memory_mask"], rep)
         return out
 
 
