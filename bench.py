@@ -38,7 +38,7 @@ import os as _os
 
 FLAGSHIP = {
     "encoder_type": _os.environ.get("BENCH_ENCODER", "windowed"),
-    "n_enc_layers": int(_os.environ.get("BENCH_LAYERS", "6")),
+    "n_enc_layers": int(_os.environ.get("BENCH_LAYERS", "3")),
     "shared_cpb": _os.environ.get("BENCH_SHARED_CPB", "0") == "1",
     "hybrid_min_level": int(_os.environ.get("BENCH_HYBRID_MINLVL", "1")),
 }
