@@ -71,6 +71,25 @@ def main():
     if stds:
         print(f"\nnoise bar: max per-variant HOTA std = {max(stds):.2f} "
               f"(min detectable single-pair effect ~{2 * max(stds):.1f})")
+
+    # Paired same-seed deltas: "<base>_<lever>" vs "<base>" on the shared
+    # seeds.  Pairing removes the between-seed variance component, so lever
+    # effects are resolvable well below the unpaired noise bar.
+    runs = collect(workdir)
+    for variant in sorted(runs):
+        for base in sorted(runs, key=len, reverse=True):
+            if base != variant and variant.startswith(base + "_"):
+                shared = sorted(set(runs[variant]) & set(runs[base]))
+                if not shared:
+                    break
+                d = [runs[variant][s]["HOTA"] - runs[base][s]["HOTA"]
+                     for s in shared]
+                mean = float(np.mean(d))
+                sd = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
+                print(f"paired  {variant:28s} - {base:12s} "
+                      f"(seeds {shared}): dHOTA = {mean:+.2f}"
+                      + (f" +- {sd:.2f}" if len(d) > 1 else ""))
+                break
     if len(sys.argv) > 2:
         with open(sys.argv[2], "w") as f:
             json.dump(agg, f, indent=1)
