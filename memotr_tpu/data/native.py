@@ -47,6 +47,15 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int)]
+        try:    # absent in pre-u8 builds of the .so; rebuild via `make -C native`
+            lib.dp_decode_sync_u8.restype = ctypes.c_int
+            lib.dp_decode_sync_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int)]
+            lib._has_u8 = True
+        except AttributeError:
+            lib._has_u8 = False
         lib.dp_submit.restype = ctypes.c_int
         lib.dp_submit.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_int,
@@ -82,6 +91,27 @@ def decode_sync(path: str, short_side: int, max_side: int,
     rc = lib.dp_decode_sync(
         path.encode(), short_side, max_side, h, w, _MEAN, _STD,
         canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), dims)
+    if rc != 0:
+        return None
+    return canvas, mask.astype(bool), (dims[0], dims[1]), (dims[2], dims[3])
+
+
+def decode_sync_u8(path: str, short_side: int, max_side: int,
+                   canvas_hw: Tuple[int, int]):
+    """Fused decode+resize+pad, raw RGB uint8 (normalize-on-device path).
+    Returns (canvas u8 HWC, mask bool HW, (ori_h, ori_w), (new_h, new_w))
+    or None on failure / pre-u8 library build."""
+    lib = load_library()
+    if lib is None or not getattr(lib, "_has_u8", False):
+        return None
+    h, w = canvas_hw
+    canvas = np.empty((h, w, 3), np.uint8)
+    mask = np.empty((h, w), np.uint8)
+    dims = (ctypes.c_int * 4)()
+    rc = lib.dp_decode_sync_u8(
+        path.encode(), short_side, max_side, h, w,
+        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), dims)
     if rc != 0:
         return None

@@ -83,6 +83,14 @@ class SeqDataset:
     def __getitem__(self, item):
         path = self.image_paths[item]
         if self.uint8:
+            if self._native:
+                from .native import decode_sync_u8
+                out = decode_sync_u8(path, self.image_height,
+                                     self.image_width, self.padded_canvas())
+                if out is not None:
+                    canvas, mask, ori_hw, new_hw = out
+                    return {"image": canvas, "mask": mask, "ori_hw": ori_hw,
+                            "resized_hw": new_hw, "path": path}
             image = self.load(path)
             h, w = image.shape[:2]
             scale = self.image_height / min(h, w)

@@ -69,17 +69,14 @@ struct Pool {
   }
 };
 
-// One fused pass: decode -> RGB -> resize(short side, capped long side) ->
-// (x/255 - mean)/std -> write into a zeroed float32 canvas + bool mask.
-JobResult process_image(const char* path, int short_side, int max_side,
-                        int canvas_h, int canvas_w, const float* mean,
-                        const float* stdv, float* out_canvas,
-                        unsigned char* out_mask) {
-  JobResult r;
+// Shared front half: decode -> short-side resize (capped long side).
+// Fills r.ori/new dims; returns the resized BGR mat (empty on error).
+cv::Mat decode_resize(const char* path, int short_side, int max_side,
+                      int canvas_h, int canvas_w, JobResult& r) {
   cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
   if (bgr.empty()) {
     r.status = -2;
-    return r;
+    return {};
   }
   r.ori_h = bgr.rows;
   r.ori_w = bgr.cols;
@@ -90,12 +87,26 @@ JobResult process_image(const char* path, int short_side, int max_side,
   int th = int(bgr.rows * scale), tw = int(bgr.cols * scale);
   if (th > canvas_h || tw > canvas_w) {
     r.status = -3;  // canvas too small
-    return r;
+    return {};
   }
   cv::Mat resized;
   cv::resize(bgr, resized, cv::Size(tw, th), 0, 0, cv::INTER_LINEAR);
   r.new_h = th;
   r.new_w = tw;
+  return resized;
+}
+
+// One fused pass: decode -> RGB -> resize(short side, capped long side) ->
+// (x/255 - mean)/std -> write into a zeroed float32 canvas + bool mask.
+JobResult process_image(const char* path, int short_side, int max_side,
+                        int canvas_h, int canvas_w, const float* mean,
+                        const float* stdv, float* out_canvas,
+                        unsigned char* out_mask) {
+  JobResult r;
+  cv::Mat resized =
+      decode_resize(path, short_side, max_side, canvas_h, canvas_w, r);
+  if (resized.empty()) return r;
+  const int th = r.new_h, tw = r.new_w;
 
   const float inv255 = 1.0f / 255.0f;
   // canvas layout: HWC float32, zero outside the valid region
@@ -110,6 +121,32 @@ JobResult process_image(const char* path, int short_side, int max_side,
       dst[x * 3 + 1] = (row[x * 3 + 1] * inv255 - mean[1]) / stdv[1];
       dst[x * 3 + 2] = (row[x * 3 + 0] * inv255 - mean[2]) / stdv[2];
     }
+    if (out_mask) std::memset(out_mask + size_t(y) * canvas_w, 0, tw);
+  }
+  r.status = 0;
+  return r;
+}
+
+// uint8 variant for the pipelined submit path (engine/submit.py): raw RGB
+// canvas, normalization rides the compiled device step — 4x fewer
+// host->device bytes per streamed frame than the f32 canvas.
+JobResult process_image_u8(const char* path, int short_side, int max_side,
+                           int canvas_h, int canvas_w,
+                           unsigned char* out_canvas,
+                           unsigned char* out_mask) {
+  JobResult r;
+  cv::Mat resized =
+      decode_resize(path, short_side, max_side, canvas_h, canvas_w, r);
+  if (resized.empty()) return r;
+  const int th = r.new_h, tw = r.new_w;
+
+  std::memset(out_canvas, 0, size_t(canvas_h) * canvas_w * 3);
+  if (out_mask) std::memset(out_mask, 1, canvas_h * canvas_w);
+  cv::Mat rgb;
+  cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
+  for (int y = 0; y < th; ++y) {
+    std::memcpy(out_canvas + (size_t(y) * canvas_w) * 3,
+                rgb.ptr<unsigned char>(y), size_t(tw) * 3);
     if (out_mask) std::memset(out_mask + size_t(y) * canvas_w, 0, tw);
   }
   r.status = 0;
@@ -132,6 +169,19 @@ int dp_decode_sync(const char* path, int short_side, int max_side,
                    unsigned char* out_mask, int* dims) {
   JobResult r = process_image(path, short_side, max_side, canvas_h, canvas_w,
                               mean, stdv, out_canvas, out_mask);
+  dims[0] = r.ori_h;
+  dims[1] = r.ori_w;
+  dims[2] = r.new_h;
+  dims[3] = r.new_w;
+  return r.status;
+}
+
+// Synchronous fused uint8 decode (no normalize); same returns.
+int dp_decode_sync_u8(const char* path, int short_side, int max_side,
+                      int canvas_h, int canvas_w, unsigned char* out_canvas,
+                      unsigned char* out_mask, int* dims) {
+  JobResult r = process_image_u8(path, short_side, max_side, canvas_h,
+                                 canvas_w, out_canvas, out_mask);
   dims[0] = r.ori_h;
   dims[1] = r.ori_w;
   dims[2] = r.new_h;

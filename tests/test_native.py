@@ -39,6 +39,24 @@ def test_decode_matches_python_path(jpg):
     assert (~mask).sum() == new_hw[0] * new_hw[1]
 
 
+def test_u8_decode_bit_matches_python_path(jpg, tmp_path):
+    """The uint8 pipelined-submit path (normalize-on-device) must be
+    BIT-identical between the native plane and the Python cv2 path."""
+    seq = tmp_path / "seq" / "img1"
+    seq.mkdir(parents=True)
+    os.link(jpg, seq / "00000001.jpg")
+    ds_n = SeqDataset(str(tmp_path / "seq"), image_height=64,
+                      image_width=128, uint8=True)
+    ds_p = SeqDataset(str(tmp_path / "seq"), image_height=64,
+                      image_width=128, uint8=True, use_native=False)
+    assert ds_n._native
+    a, b = ds_n[0], ds_p[0]
+    assert a["image"].dtype == np.uint8
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["mask"], b["mask"])
+    assert a["ori_hw"] == b["ori_hw"] and a["resized_hw"] == b["resized_hw"]
+
+
 def test_async_pool_ordering(jpg):
     dec = AsyncDecoder(3)
     jobs = [dec.submit(jpg, 64, 128, (64, 128)) for _ in range(8)]
