@@ -234,6 +234,17 @@ def run_variant(root: str, workdir: str, name: str, epochs: int,
             assert os.path.isdir(t), \
                 f"{name} needs the deformable seed-42 teacher first ({t})"
             cfg[key] = t
+    # salvage interrupted runs: resume from the newest epoch checkpoint
+    # instead of retraining from scratch (the per-run timeout kills runs
+    # mid-train/mid-eval when the single-core host is contended; training
+    # state is checkpointed per epoch, so nothing is lost)
+    if os.path.isdir(outdir):
+        ckpts = sorted((int(d.split("_")[-1]) for d in os.listdir(outdir)
+                        if d.startswith("checkpoint_")), reverse=True)
+        if ckpts:
+            cfg["RESUME"] = os.path.join(outdir, f"checkpoint_{ckpts[0]}")
+            print(f"[{name}_s{seed}] resuming from checkpoint_{ckpts[0]}",
+                  flush=True)
     train(cfg)
     ckpt = f"checkpoint_{epochs - 1}"
     metrics = eval_model(dict(cfg), outdir, ckpt,
@@ -285,9 +296,9 @@ if __name__ == "__main__":
                     rc = subprocess.call(
                         [sys.executable, os.path.abspath(__file__), workdir,
                          str(epochs), name, str(seed), "--single"],
-                        timeout=3600)
+                        timeout=5400)
                 except subprocess.TimeoutExpired:
-                    print(f"!!! {key} timed out after 3600s", flush=True)
+                    print(f"!!! {key} timed out after 5400s", flush=True)
                     continue
                 if rc != 0:
                     print(f"!!! {key} failed rc={rc}", flush=True)
