@@ -274,19 +274,31 @@ if __name__ == "__main__":
     single = "--single" in sys.argv
     root = ensure_data(workdir)
     # campaign deadline (epoch seconds): stop LAUNCHING new runs past it so
-    # a queued chain cannot hold the chip into the round-end bench window
+    # a queued chain cannot hold the chip into the round-end bench window.
+    # FLAGSHIP_EVAL_HARD_STOP additionally caps each run's subprocess timeout
+    # so nothing outlives that instant (killed runs resume from their epoch
+    # checkpoints on the next invocation — salvage path above).
     deadline = float(os.environ.get("FLAGSHIP_EVAL_DEADLINE", "0") or 0)
+    hard_stop = float(os.environ.get("FLAGSHIP_EVAL_HARD_STOP", "0") or 0)
 
     results = {}
     for name in names:
         for seed in seeds:
+            import time
             key = f"{name}_s{seed}"
             got = metrics_of(workdir, name, seed, epochs)
             if got is None and not single and deadline and \
-                    __import__("time").time() > deadline:
+                    time.time() > deadline:
                 print(f"!!! deadline passed, skipping {key}", flush=True)
                 continue
             if got is None and not single:
+                run_timeout = 5400.0
+                if hard_stop:
+                    run_timeout = min(run_timeout, hard_stop - time.time())
+                    if run_timeout < 300:
+                        print(f"!!! hard stop imminent, skipping {key}",
+                              flush=True)
+                        continue
                 # fresh subprocess per run: crash isolation + bounded memory
                 print(f"=== training {key} ===", flush=True)
                 try:
@@ -296,9 +308,10 @@ if __name__ == "__main__":
                     rc = subprocess.call(
                         [sys.executable, os.path.abspath(__file__), workdir,
                          str(epochs), name, str(seed), "--single"],
-                        timeout=5400)
+                        timeout=run_timeout)
                 except subprocess.TimeoutExpired:
-                    print(f"!!! {key} timed out after 5400s", flush=True)
+                    print(f"!!! {key} timed out after {int(run_timeout)}s",
+                          flush=True)
                     continue
                 if rc != 0:
                     print(f"!!! {key} failed rc={rc}", flush=True)
