@@ -28,7 +28,10 @@ def parse_option():
                  "track-slots", "max-gts", "dtype", "msda-impl",
                  "num-workers", "accumulation-steps", "dataset",
                  "encoder-type", "window-size", "submit-batch",
-                 "mesh-devices"]:
+                 "mesh-devices", "mesh-seq-devices", "token-shard-axis",
+                 "distill-teacher", "warmup-iters", "visualize",
+                 "windowed-prenorm", "windowed-shared-cpb",
+                 "hybrid-deform-min-level", "pretrain-skip-encoder"]:
         p.add_argument(f"--{flag}", type=str, default=None)
     p.add_argument("--multi-host", action="store_true",
                    help="initialize jax.distributed for multi-host runs")

@@ -115,9 +115,19 @@ _DEFAULTS = {
     "WINDOWED_RELPOS": True,     # continuous relative position bias
     "WINDOW_SIZE": 8,            # window/grid block size (windowed encoder)
     "WINDOWED_PRENORM": False,   # pre-norm residual blocks (deep stacks)
+    "WINDOWED_SHARED_CPB": False,  # one CPB MLP/table set for all layers
+    "HYBRID_DEFORM_MIN_LEVEL": 1,  # hybrid: first exact-deformable level
     "WARMUP_ITERS": 0,           # linear LR warmup iterations (0 = off)
     "SUBMIT_BATCH": 1,           # serving mode: sequences streamed per step
     "FIXED_TRAIN_CANVAS": None,  # (H, W) pad every train batch to one canvas
+    "MESH_SEQ_DEVICES": 1,       # seq-parallel chips per data replica
+    "DISTILL_TEACHER": None,     # Orbax ckpt dir of a trained teacher
+    "DISTILL_WEIGHT_MEMORY": 1.0,
+    "DISTILL_WEIGHT_LOGIT": 1.0,
+    "DISTILL_WEIGHT_BOX": 1.0,
+    "PRETRAIN_SKIP_ENCODER": None,  # None = auto (skip iff encoder family
+    #                                 differs from the checkpoint's)
+    "VISUALIZE": False,          # tensor dumps (train + submit paths)
 }
 
 
