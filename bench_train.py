@@ -22,11 +22,20 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
+import os as _os
+
+# encoder depth defaults to the flagship shape (3 windowed layers,
+# configs/train_dancetrack_windowed.yaml); BENCH_LAYERS overrides for A/B.
+# Recorded PERF_NOTES numbers: 0.187 s/iter was the round-2 6-layer shape.
+_N_ENC_LAYERS = int(_os.environ.get("BENCH_LAYERS", "3"))
+
+
 def config(encoder_type: str) -> dict:
     return {
         "DATASET": "DanceTrack", "HIDDEN_DIM": 256, "FFN_DIM": 2048,
         "NUM_FEATURE_LEVELS": 4, "NUM_HEADS": 8, "NUM_ENC_POINTS": 4,
-        "NUM_DEC_POINTS": 4, "NUM_ENC_LAYERS": 6, "NUM_DEC_LAYERS": 6,
+        "NUM_DEC_POINTS": 4, "NUM_ENC_LAYERS": _N_ENC_LAYERS,
+        "NUM_DEC_LAYERS": 6,
         "MERGE_DET_TRACK_LAYER": 1, "NUM_DET_QUERIES": 300, "DROPOUT": 0.0,
         "USE_DAB": True, "UPDATE_THRESH": 0.5, "LONG_MEMORY_LAMBDA": 0.01,
         "USE_CHECKPOINT": True, "CHECKPOINT_LEVEL": 2, "AUX_LOSS": True,
@@ -104,7 +113,8 @@ def main():
     # reference trains ~1 s/iter-ish per GPU at this shape on V100/A100-class
     # hardware; report s/iter directly, vs_baseline = 1.0 s / spi
     print(json.dumps({
-        "metric": f"train step s/iter ({encoder_type} encoder, clip=2, "
+        "metric": f"train step s/iter ({encoder_type} encoder, "
+                  f"{_N_ENC_LAYERS} enc layers, clip=2, "
                   f"768x1408, batch 1, remat)",
         "value": round(spi, 3),
         "unit": "s/iter",
