@@ -250,7 +250,18 @@ def train(config: dict):
 
     states = {"start_epoch": 0, "global_iters": 0}
     if config.get("RESUME"):
-        restored = load_checkpoint(config["RESUME"])
+        # Restore against a template built from the fresh TrainState so the
+        # optax states come back as their NamedTuple pytrees — a
+        # template-less Orbax restore yields raw nested dicts, which
+        # optimizer.update cannot consume (the mid-train-resume bug: the
+        # first optimizer step after resume raised
+        # "'dict' object has no attribute 'mu'").
+        template = {"params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "states": {"start_epoch": jnp.asarray(0),
+                               "global_iters": jnp.asarray(0)},
+                    "frozen": jax.device_get(frozen["frozen"])}
+        restored = load_checkpoint(config["RESUME"], template=template)
         state = TrainState(restored["params"], restored["opt_state"])
         state = replicate(mesh, state)
         if "states" in restored:

@@ -53,9 +53,9 @@ run() {  # run <tag> <cmd...>
 FE="python tools/flagship_eval.py $W 10"
 run teacher2   $FE deformable 42
 run levers42   $FE windowed_transplant,windowed_distill,windowed_transplant_distill 42
-run w256_42    $FE deformable_w256,windowed_w256 42
 run levers43   $FE windowed_transplant,windowed_distill,windowed_transplant_distill 43
 run levers44   $FE windowed_transplant,windowed_distill,windowed_transplant_distill 44
+run w256_42    $FE deformable_w256,windowed_w256 42
 run w256_rest  $FE deformable_w256,windowed_w256 43,44
 run sharedcpb  $FE windowed_sharedcpb 42,43,44
 run warmup     $FE windowed_warmup 42,43,44

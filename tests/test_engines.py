@@ -125,3 +125,47 @@ def test_train_submit_eval(synth_root, tmp_path):
     assert "HOTA" in metrics and np.isfinite(metrics["HOTA"])
     assert os.path.isfile(os.path.join(
         outdir, "val", "checkpoint_0_tracker", "pedestrian_summary.txt"))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("jax").devices()[0].platform != "cpu",
+    reason="full engine e2e needs the scrubbed-CPU env (scripts/test_cpu.sh);"
+           " remote-TPU compiles make it prohibitively slow")
+def test_resume_mid_train(synth_root, tmp_path):
+    """RESUME from an epoch checkpoint must run further optimizer steps.
+
+    Regression: a template-less Orbax restore returns the optax state as
+    raw nested dicts, and the first optimizer.update after resume raised
+    "'dict' object has no attribute 'mu'" (found when the round-3 campaign
+    teacher resumed from epoch 3).  The restore now goes through a
+    TrainState-shaped template (engine/train.py).
+    """
+    from memotr_tpu.data.loader import DataLoader as DL
+    from memotr_tpu.engine import train as train_mod
+
+    outdir = str(tmp_path / "resume")
+    config = _config(synth_root, outdir)
+
+    orig_iter = DL.__iter__
+
+    def short_iter(self):
+        batches = []
+        for i, b in enumerate(orig_iter(self)):
+            batches.append(b)
+            if i >= 1:
+                break
+        yield from batches
+
+    DL.__iter__ = short_iter
+    try:
+        train_mod.train(config)                    # epoch 0 -> checkpoint_0
+        cfg2 = dict(config)
+        cfg2["EPOCHS"] = 2
+        cfg2["RESUME"] = os.path.join(outdir, "checkpoint_0")
+        train_mod.train(cfg2)                      # epoch 1: optimizer steps
+    finally:
+        DL.__iter__ = orig_iter
+
+    assert os.path.isdir(os.path.join(outdir, "checkpoint_1")), \
+        os.listdir(outdir)
