@@ -18,21 +18,47 @@ import sys
 import numpy as np
 
 METRICS = ("HOTA", "DetA", "AssA", "MOTA", "IDF1")
+AGG_KEYS = METRICS + ("final_loss",)
+
+
+def _final_loss(run_dir: str):
+    """Last logged total_loss from the run's train scalar stream (window-
+    averaged) — pairs the HOTA row with optimization evidence (the windowed
+    encoder's deficits have repeatedly been optimization-, not capacity-,
+    limited; QUALITY.md)."""
+    path = os.path.join(run_dir, "train", "scalars.jsonl")
+    last = None
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if row.get("mode") == "iters" and "total_loss" in row:
+                    last = float(row["total_loss"])
+    except OSError:
+        return None
+    return last
 
 
 def collect(workdir: str) -> dict:
     runs = {}
     for path in sorted(glob.glob(os.path.join(
             workdir, "*_s*", "val", "checkpoint_*_metrics.json"))):
-        run = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        run_dir = os.path.dirname(os.path.dirname(path))
+        run = os.path.basename(run_dir)
         m = re.match(r"(.+)_s(\d+)$", run)
         if not m:
             continue
         variant, seed = m.group(1), int(m.group(2))
         with open(path) as f:
             metrics = json.load(f)
-        runs.setdefault(variant, {})[seed] = {
-            k: float(metrics[k]) for k in METRICS if k in metrics}
+        entry = {k: float(metrics[k]) for k in METRICS if k in metrics}
+        loss = _final_loss(run_dir)
+        if loss is not None:
+            entry["final_loss"] = loss
+        runs.setdefault(variant, {})[seed] = entry
     return runs
 
 
@@ -40,7 +66,7 @@ def aggregate(runs: dict) -> dict:
     out = {}
     for variant, by_seed in sorted(runs.items()):
         agg = {"n": len(by_seed), "seeds": sorted(by_seed)}
-        for k in METRICS:
+        for k in AGG_KEYS:
             vals = [v[k] for v in by_seed.values() if k in v]
             if vals:
                 agg[k] = {"mean": round(float(np.mean(vals)), 2),
@@ -55,14 +81,14 @@ def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_eval"
     agg = aggregate(collect(workdir))
     hdr = f"{'variant':32s} {'n':>2s}  " + "  ".join(
-        f"{k:>12s}" for k in ("HOTA", "DetA", "AssA"))
+        f"{k:>12s}" for k in ("HOTA", "DetA", "AssA", "final_loss"))
     print(hdr)
     stds = []
     for variant, a in sorted(agg.items(),
                              key=lambda kv: -kv[1].get("HOTA", {})
                              .get("mean", 0)):
         row = f"{variant:32s} {a['n']:2d}  "
-        for k in ("HOTA", "DetA", "AssA"):
+        for k in ("HOTA", "DetA", "AssA", "final_loss"):
             if k in a:
                 row += f"{a[k]['mean']:6.2f}+-{a[k]['std']:4.2f}  "
                 if k == "HOTA" and a["n"] > 1:
