@@ -344,6 +344,19 @@ class Submitter:
             except BaseException as e:   # noqa: BLE001 - surfaced below
                 errs.append(e)
 
+        def put_checked(entry) -> bool:
+            """Enqueue for the writer, polling for its death: a plain
+            blocking put() could wait forever on a full queue after the
+            writer thread has died (nothing drains it) — the dispatch loop
+            must observe ``errs`` instead of hanging (ROUND3.md nit)."""
+            while not errs:
+                try:
+                    results_q.put(entry, timeout=0.5)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         wt = threading.Thread(target=writer, daemon=True)
         wt.start()
         t0 = time.time()
@@ -351,10 +364,9 @@ class Submitter:
             packed, state = self.step_packed(
                 self.params, self.uparams, item["image_dev"],
                 item["mask_dev"], state)
-            results_q.put((i, packed, item["ori_hw"], item["path"]))
-            if errs:
+            if not put_checked((i, packed, item["ori_hw"], item["path"])):
                 break
-        results_q.put(None)
+        put_checked(None)
         wt.join()
         if errs:
             raise errs[0]

@@ -77,6 +77,38 @@ def _parse(txt):
 
 
 @pytest.mark.slow
+def test_pipelined_writer_death_raises(seq_dir, tmp_path):
+    """A dying writer thread must abort the run with its exception, not
+    deadlock the dispatch loop on a full results queue (the queue has
+    maxsize 4 < 6 frames, so a blocking put() would hang forever once the
+    dead writer stops draining it)."""
+    import threading
+
+    sub = _make(str(tmp_path / "w"), seq_dir, {})
+    sub.area_thresh = 0.0
+    assert sub.pipelined
+
+    def boom(*a, **k):
+        raise RuntimeError("writer boom")
+
+    sub._write_frame = boom
+    got = {}
+
+    def run():
+        try:
+            sub.run()
+        except BaseException as e:  # noqa: BLE001 - asserted below
+            got["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=300)
+    assert not t.is_alive(), "pipelined submit hung after writer death"
+    assert isinstance(got.get("err"), RuntimeError)
+    assert "writer boom" in str(got["err"])
+
+
+@pytest.mark.slow
 def test_pipelined_matches_sync(seq_dir, tmp_path):
     # area_thresh would drop everything at this tiny canvas
     sub_p = _make(str(tmp_path / "p"), seq_dir, {})
