@@ -116,9 +116,28 @@ def main():
                       f"(seeds {shared}): dHOTA = {mean:+.2f}"
                       + (f" +- {sd:.2f}" if len(d) > 1 else ""))
                 break
-    if len(sys.argv) > 2:
-        with open(sys.argv[2], "w") as f:
+    if "--md" in sys.argv:
+        print()
+        print(markdown_table(agg))
+    out = [a for a in sys.argv[1:] if a.endswith(".json")]
+    if out:
+        with open(out[0], "w") as f:
             json.dump(agg, f, indent=1)
+
+
+def markdown_table(agg: dict) -> str:
+    """QUALITY.md-ready table of the aggregated rows, HOTA-descending."""
+    lines = ["| Variant | n | HOTA | DetA | AssA | final loss |",
+             "|---|---|---|---|---|---|"]
+    for variant, a in sorted(agg.items(),
+                             key=lambda kv: -kv[1].get("HOTA", {})
+                             .get("mean", 0)):
+        cells = [variant, str(a["n"])]
+        for k in ("HOTA", "DetA", "AssA", "final_loss"):
+            cells.append(f"{a[k]['mean']:.1f} ± {a[k]['std']:.1f}"
+                         if k in a else "—")
+        lines.append("| " + " | ".join(cells) + " |")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
