@@ -166,3 +166,19 @@ def test_base_config_is_self_consistent(tmp_path):
     for name, (enc, overrides) in fe.VARIANTS.items():
         for k in overrides:
             assert k in cfg or k in known_extra, (name, k)
+
+
+def test_quality_report_markdown_table(tmp_path):
+    """--md table: HOTA-descending rows, missing metrics rendered as em
+    dashes (final_loss has no scalars.jsonl in this fixture)."""
+    qr = _load("quality_report")
+    w = str(tmp_path)
+    _write_metrics(w, "windowed", 42, 10, 40.0)
+    _write_metrics(w, "deformable", 42, 10, 50.0)
+    md = qr.markdown_table(qr.aggregate(qr.collect(w)))
+    lines = md.splitlines()
+    assert lines[0].startswith("| Variant |")
+    assert lines[2].startswith("| deformable |")     # higher HOTA first
+    assert lines[3].startswith("| windowed |")
+    assert "50.0 ± 0.0" in lines[2]
+    assert lines[2].rstrip().endswith("| — |")        # no final_loss logged
