@@ -151,6 +151,14 @@ def base_config(root: str, outdir: str, encoder_type: str,
         "TRAIN_SHORT_SIDES": [H], "TRAIN_MAX_SIZE": W,
         "FIXED_TRAIN_CANVAS": [H, W],
         "MESH_DEVICES": 1, "ENCODER_TYPE": encoder_type,
+        # Score the 8 val sequences as 8 lockstep lanes of ONE compiled
+        # streaming step (engine/submit.py BatchedSubmitter; per-lane
+        # identity vs the sequential path asserted in
+        # tests/test_submit_batched.py).  At 256x320 the per-step cost is
+        # dominated by the relay round-trip, so sequential eval was ~17 min
+        # of every ~40-min campaign run; batching amortizes that latency
+        # across all 8 sequences.
+        "SUBMIT_BATCH": 8,
     }
 
 
