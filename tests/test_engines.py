@@ -126,6 +126,17 @@ def test_train_submit_eval(synth_root, tmp_path):
     assert os.path.isfile(os.path.join(
         outdir, "val", "checkpoint_0_tracker", "pedestrian_summary.txt"))
 
+    # --- batched eval (the campaign scoring path): SUBMIT_BATCH groups the
+    # val sequences into lockstep lanes of one compiled step; metrics must
+    # agree with the sequential path (thresholds are 0.0 here, so there are
+    # no score-boundary flips between the B=1 and B=2 compiled programs) ---
+    bat_cfg = dict(sub_cfg)
+    bat_cfg["SUBMIT_BATCH"] = 2
+    m2 = eval_model(bat_cfg, outdir, "checkpoint_0",
+                    Logger(logdir=os.path.join(outdir, "val_batched")))
+    for k in ("HOTA", "DetA", "AssA"):
+        assert abs(m2[k] - metrics[k]) < 0.5, (k, m2[k], metrics[k])
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(
