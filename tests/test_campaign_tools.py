@@ -168,6 +168,22 @@ def test_base_config_is_self_consistent(tmp_path):
             assert k in cfg or k in known_extra, (name, k)
 
 
+def test_salvage_skips_orbax_tmp_dirs(tmp_path):
+    """A hard-stop SIGKILL mid-save leaves Orbax tmp dirs; the salvage scan
+    must neither crash on them (int() of the tmp suffix raised ValueError,
+    permanently blocking the (variant, seed)) nor resume from them."""
+    fe = _load("flagship_eval")
+    out = str(tmp_path / "windowed_s42")
+    assert fe.latest_complete_checkpoint(out) is None       # no dir yet
+    os.makedirs(os.path.join(out, "checkpoint_3"))
+    os.makedirs(os.path.join(
+        out, "checkpoint_5.orbax-checkpoint-tmp-1690000000"))
+    os.makedirs(os.path.join(out, "train"))                 # unrelated dir
+    assert fe.latest_complete_checkpoint(out) == 3
+    os.makedirs(os.path.join(out, "checkpoint_5"))
+    assert fe.latest_complete_checkpoint(out) == 5
+
+
 def test_quality_report_markdown_table(tmp_path):
     """--md table: HOTA-descending rows, missing metrics rendered as em
     dashes (final_loss has no scalars.jsonl in this fixture)."""

@@ -211,6 +211,20 @@ def teacher_ckpt(workdir: str, epochs: int) -> str:
                         f"checkpoint_{epochs - 1}")
 
 
+def latest_complete_checkpoint(outdir: str):
+    """Newest complete epoch checkpoint number in ``outdir``, or None.
+
+    Only dirs named exactly ``checkpoint_<int>`` count: a hard-stop SIGKILL
+    mid-save leaves Orbax tmp dirs (``checkpoint_N.orbax-checkpoint-tmp-*``)
+    that must neither crash the scan nor be resumed from."""
+    import re
+    if not os.path.isdir(outdir):
+        return None
+    ckpts = [int(m.group(1)) for d in os.listdir(outdir)
+             for m in [re.fullmatch(r"checkpoint_(\d+)", d)] if m]
+    return max(ckpts) if ckpts else None
+
+
 def metrics_of(workdir: str, name: str, seed: int, epochs: int):
     done = os.path.join(run_dir(workdir, name, seed), "val",
                         f"checkpoint_{epochs - 1}_metrics.json")
@@ -246,13 +260,11 @@ def run_variant(root: str, workdir: str, name: str, epochs: int,
     # instead of retraining from scratch (the per-run timeout kills runs
     # mid-train/mid-eval when the single-core host is contended; training
     # state is checkpointed per epoch, so nothing is lost)
-    if os.path.isdir(outdir):
-        ckpts = sorted((int(d.split("_")[-1]) for d in os.listdir(outdir)
-                        if d.startswith("checkpoint_")), reverse=True)
-        if ckpts:
-            cfg["RESUME"] = os.path.join(outdir, f"checkpoint_{ckpts[0]}")
-            print(f"[{name}_s{seed}] resuming from checkpoint_{ckpts[0]}",
-                  flush=True)
+    latest = latest_complete_checkpoint(outdir)
+    if latest is not None:
+        cfg["RESUME"] = os.path.join(outdir, f"checkpoint_{latest}")
+        print(f"[{name}_s{seed}] resuming from checkpoint_{latest}",
+              flush=True)
     train(cfg)
     ckpt = f"checkpoint_{epochs - 1}"
     metrics = eval_model(dict(cfg), outdir, ckpt,
