@@ -94,7 +94,8 @@ def test_accumulation_matches_single_step():
 
     import memotr_tpu.engine.trainer as tr
     orig = tr.clip_loss
-    tr.clip_loss = lambda t, f, m, u, c, b, r, cs: quad_loss(t, f, b, r)
+    # **kw absorbs the distill/teacher_params kwargs loss_fn always passes
+    tr.clip_loss = lambda t, f, m, u, c, b, r, cs, **kw: quad_loss(t, f, b, r)
     try:
         opt = make_optimizer(_cfg())
         params = {"model": {"w": jnp.ones((4,))},
