@@ -67,6 +67,40 @@ def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
 _EVAL_STEP_CACHE: Dict[tuple, "object"] = {}
 
 
+class _PrefetchFailure:
+    """Queue sentinel carrying a prefetch-worker exception.  A worker that
+    died silently would otherwise either truncate the sequence (rc=0, wrong
+    metrics — the old ``finally: q.put(None)``) or hang the consumer on
+    ``q.get()`` forever (no handler at all)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def _drain(q: "queue_mod.Queue"):
+    """Yield queue items until the None end-marker, re-raising any
+    prefetch-worker failure in the consuming thread."""
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, _PrefetchFailure):
+            raise item.exc
+        yield item
+
+
+def _guarded(fn, q: "queue_mod.Queue"):
+    """Wrap a prefetch-worker body: end-marker on success, failure sentinel
+    on any exception."""
+    def worker():
+        try:
+            fn()
+            q.put(None)
+        except BaseException as e:      # noqa: BLE001 - re-raised by _drain
+            q.put(_PrefetchFailure(e))
+    return worker
+
+
 def _maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:
     """On-device ImageNet normalization for raw uint8 frames.
 
@@ -126,14 +160,31 @@ def make_eval_step(model, updater, n_det: int, det_thresh: float,
     return jitted
 
 
+def pack_results(results: Dict) -> jnp.ndarray:
+    """Results dict -> ONE packed (B, S, 9) float32 array
+    [id, label, cx, cy, w, h, score, alive, overflow].  Shared by the
+    pipelined submit path and the AOT serving export (serving.py): one
+    device fetch per frame, and the packed buffer does NOT alias the
+    TrackState outputs (the next dispatch donates the state; aliased
+    results fetched late would read deleted buffers).  The per-lane
+    overflow count is replicated across that lane's S slot rows."""
+    b, s = results["ids"].shape
+    over = jnp.broadcast_to(
+        results["slot_overflow"].astype(jnp.float32)[:, None], (b, s))
+    return jnp.concatenate([
+        results["ids"][..., None].astype(jnp.float32),
+        results["labels"][..., None].astype(jnp.float32),
+        results["boxes"].astype(jnp.float32),
+        results["scores"][..., None].astype(jnp.float32),
+        results["mask"][..., None].astype(jnp.float32),
+        over[..., None],
+    ], axis=-1)
+
+
 def make_eval_step_packed(model, updater, n_det: int, det_thresh: float,
                           track_thresh: float, miss_tolerance: int):
-    """Streaming step for the pipelined submit path: returns ONE packed
-    (B, S, 9) float32 array [id, label, cx, cy, w, h, score, mask, overflow]
-    instead of a dict of per-field arrays, so the writer thread needs a
-    single device fetch per frame and — critically — the packed buffer does
-    NOT alias the TrackState outputs (the next dispatch donates the state;
-    aliased results fetched late would read deleted buffers)."""
+    """Streaming step for the pipelined submit path: ``pack_results`` of
+    the core step, memoized and jitted with a donated state."""
     key = ("packed", id(model), id(updater), n_det, det_thresh, track_thresh,
            miss_tolerance)
     if key in _EVAL_STEP_CACHE:
@@ -143,18 +194,7 @@ def make_eval_step_packed(model, updater, n_det: int, det_thresh: float,
 
     def step(params, uparams, images, mask, state):
         results, state = core(params, uparams, images, mask, state)
-        b, s = results["ids"].shape
-        over = jnp.broadcast_to(
-            results["slot_overflow"].astype(jnp.float32), (b, s))
-        packed = jnp.concatenate([
-            results["ids"][..., None].astype(jnp.float32),
-            results["labels"][..., None].astype(jnp.float32),
-            results["boxes"].astype(jnp.float32),
-            results["scores"][..., None].astype(jnp.float32),
-            results["mask"][..., None].astype(jnp.float32),
-            over[..., None],
-        ], axis=-1)
-        return packed, state
+        return pack_results(results), state
 
     jitted = jax.jit(step, donate_argnums=(4,))
     _EVAL_STEP_CACHE[key] = (jitted, model, updater)
@@ -218,20 +258,18 @@ class Submitter:
     def _prefetch(self):
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
 
-        def worker():
+        def body():
             for i in range(len(self.dataset)):
                 q.put(self.dataset[i])
-            q.put(None)
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        threading.Thread(target=_guarded(body, q), daemon=True).start()
+        yield from _drain(q)
 
     def run(self) -> float:
-        """Returns model-step seconds (for FPS reporting)."""
+        """Returns seconds for FPS reporting: accumulated dispatch+fetch
+        time on the sync path, loop wall time on the pipelined path (its
+        dispatch never blocks on the device, so per-step timing would
+        measure nothing — see ``_run_pipelined``)."""
         import contextlib
         ctx = contextlib.nullcontext()
         if getattr(self.model, "token_shard_axis", None) and \
@@ -300,7 +338,7 @@ class Submitter:
                                        mask, state)
             results = jax.device_get(results)
             device_time += time.time() - t0
-            overflow_total += int(results.pop("slot_overflow"))
+            overflow_total += int(np.sum(results.pop("slot_overflow")))
             self.dumper.dump_frame(i, results=results, state=state)
             if self.use_motion:
                 state = self._apply_motion(state)
@@ -370,31 +408,29 @@ class Submitter:
         wt.join()
         if errs:
             raise errs[0]
-        device_time = time.time() - t0
+        # Wall time of the dispatch+write loop, NOT accumulated device-step
+        # time: dispatches return before the device finishes, so per-step
+        # host timing would measure queueing, not work.  For a streaming
+        # (latency-bound) loop wall == end-to-end time anyway; bench.py
+        # labels the derived number "e2e FPS" accordingly.
+        wall_time = time.time() - t0
         self._finish(bdd_results, totals["overflow"])
-        return device_time
+        return wall_time
 
     def _prefetch_device(self):
         """Prefetch thread that also uploads: decode i+1/i+2 and push their
         uint8 canvases to the device while frame i is being processed."""
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
 
-        def worker():
-            try:
-                for i in range(len(self.dataset)):
-                    item = self.dataset[i]
-                    item["image_dev"] = jnp.asarray(item.pop("image"))[None]
-                    item["mask_dev"] = jnp.asarray(item.pop("mask"))[None]
-                    q.put(item)
-            finally:
-                q.put(None)
+        def body():
+            for i in range(len(self.dataset)):
+                item = self.dataset[i]
+                item["image_dev"] = jnp.asarray(item.pop("image"))[None]
+                item["mask_dev"] = jnp.asarray(item.pop("mask"))[None]
+                q.put(item)
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        threading.Thread(target=_guarded(body, q), daemon=True).start()
+        yield from _drain(q)
 
     def _apply_motion(self, state):
         """Post-hoc motion extrapolation of disappeared tracks' reference
@@ -493,7 +529,7 @@ class BatchedSubmitter:
     def _prefetch(self, lens: List[int]):
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
 
-        def worker():
+        def body():
             for i in range(max(lens)):
                 items = [ds[min(i, n - 1)]
                          for ds, n in zip(self.datasets, lens)]
@@ -501,14 +537,9 @@ class BatchedSubmitter:
                        np.stack([it["mask"] for it in items]),
                        [it["ori_hw"] for it in items],
                        [it["path"] for it in items]))
-            q.put(None)
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        threading.Thread(target=_guarded(body, q), daemon=True).start()
+        yield from _drain(q)
 
     def run(self):
         """Returns (model-step seconds, total frames processed)."""
@@ -537,7 +568,12 @@ class BatchedSubmitter:
                                        put(mask), state)
             results = jax.device_get(results)
             device_time += time.time() - t0
-            overflow_total += int(np.sum(results.pop("slot_overflow")))
+            # count only lanes still streaming: ended lanes replay their
+            # last frame (shapes stay static) and would otherwise inflate
+            # the TRACK_SLOTS warning with phantom overflow
+            active = np.asarray([i < n for n in lens])
+            overflow_total += int(
+                np.sum(np.asarray(results.pop("slot_overflow"))[active]))
             for lane in range(b):
                 if i >= lens[lane]:        # this lane's sequence has ended
                     continue

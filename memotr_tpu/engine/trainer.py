@@ -125,6 +125,22 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def zero_frozen_grads(grads, labels):
+    """Zero frozen-group gradients before clipping and the optimizer.
+
+    The reference's ``clip_grad_norm_(model.parameters(), 0.1)`` only sees
+    trainable gradients — frozen stem/layer1 params have ``.grad = None``
+    (``/root/reference/models/backbone.py:72-74``, requires_grad_(False)) —
+    whereas our frozen-label leaves live in the same trainable tree (their
+    updates are LR-0'd).  Letting their grads enter
+    ``optax.clip_by_global_norm`` inflates the global norm and over-clips
+    the live grads whenever the 0.1 cap engages; it also distorts the
+    logged ``grad_norm``."""
+    return jax.tree.map(
+        lambda g, lbl: jnp.zeros_like(g) if lbl == "frozen" else g,
+        grads, labels)
+
+
 # --------------------------------------------------------------- distillation
 def distill_frame_losses(out: Dict, t_out: Dict, n_det: int) -> Dict:
     """Per-frame teacher->student distillation terms (no reference
@@ -332,6 +348,7 @@ def make_train_step(model, updater, criterion: ClipCriterion,
              teacher_params=None):
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             train_state.params, frozen, batch, rng, teacher_params)
+        grads = zero_frozen_grads(grads, labels)
         updates, new_opt = optimizer.update(grads, train_state.opt_state,
                                             train_state.params)
         # per-group LR applied leaf-wise (AdamW: p -= lr*(adam + wd*p))
@@ -369,6 +386,7 @@ def make_accum_steps(model, updater, criterion: ClipCriterion,
                   teacher_params=None):
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, frozen, batch, rng, teacher_params)
+        grads = zero_frozen_grads(grads, labels)
         if grad_accum is None:
             return grads, logs
         return jax.tree.map(jnp.add, grad_accum, grads), logs

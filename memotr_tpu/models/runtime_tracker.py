@@ -119,7 +119,7 @@ def runtime_tracker_step(state: TrackState, model_out: Dict, n_det: int,
     Mirrors submit_engine.py:67-72: RuntimeTracker.update followed by the
     eval branch of select_active_tracks (keep ids >= 0, concat newborns).
     With ``with_overflow`` also returns the number of newborn candidates
-    silently dropped because no free slot remained (int32 scalar).
+    silently dropped because no free slot remained ((B,) int32).
     """
     from ..structures.track_state import overflow_count
 

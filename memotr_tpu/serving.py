@@ -92,25 +92,15 @@ def _load_npz(path: str, dtypes: Dict[str, str]) -> Dict[str, np.ndarray]:
 
 def _packed_core(model, updater, n_det: int, det_thresh: float,
                  track_thresh: float, miss_tolerance: int):
-    """Unjitted packed step (same row layout as the pipelined submit)."""
-    from .engine.submit import _eval_core
+    """Unjitted packed step (row layout shared with the pipelined submit
+    via ``engine.submit.pack_results``)."""
+    from .engine.submit import _eval_core, pack_results
     core = _eval_core(model, updater, n_det, det_thresh, track_thresh,
                       miss_tolerance)
 
     def step(params, uparams, images, mask, state):
         results, state = core(params, uparams, images, mask, state)
-        b, s = results["ids"].shape
-        over = jnp.broadcast_to(
-            results["slot_overflow"].astype(jnp.float32), (b, s))
-        packed = jnp.concatenate([
-            results["ids"][..., None].astype(jnp.float32),
-            results["labels"][..., None].astype(jnp.float32),
-            results["boxes"].astype(jnp.float32),
-            results["scores"][..., None].astype(jnp.float32),
-            results["mask"][..., None].astype(jnp.float32),
-            over[..., None],
-        ], axis=-1)
-        return packed, state
+        return pack_results(results), state
 
     return step
 

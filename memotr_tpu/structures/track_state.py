@@ -133,14 +133,16 @@ def _insert_row(state_row: dict, cand_row: dict, num_slots: int) -> dict:
 
 
 def overflow_count(state: TrackState, candidates: dict) -> jnp.ndarray:
-    """Candidates that will NOT fit in free slots (summed over batch).
+    """Candidates that will NOT fit in free slots, per batch item.
 
     ``insert_tracks`` silently drops overflow (documented); this companion
-    makes the drop observable so engines can surface it (int32 scalar,
-    jit-safe)."""
+    makes the drop observable so engines can surface it ((B,) int32,
+    jit-safe).  Per-lane rather than batch-summed so the batched submit
+    path can exclude ended lanes (whose replayed last frames would
+    otherwise inflate the TRACK_SLOTS warning)."""
     n_free = jnp.sum(~state.mask, axis=1)                     # (B,)
     n_cand = jnp.sum(candidates["mask"].astype(jnp.int32), axis=1)
-    return jnp.sum(jnp.maximum(n_cand - n_free, 0))
+    return jnp.maximum(n_cand - n_free, 0)
 
 
 def insert_tracks(state: TrackState, candidates: dict) -> TrackState:

@@ -128,3 +128,92 @@ def test_pipelined_matches_sync(seq_dir, tmp_path):
     for a, b in zip(rp, rs):
         assert a[:2] == b[:2]          # frame, id: exact
         np.testing.assert_allclose(a[2:], b[2:], rtol=0, atol=1e-3)
+
+
+def test_prefetch_failure_machinery():
+    """_guarded/_drain: a worker exception must re-raise in the consumer
+    (not truncate the stream, not hang it) after all prior items drain."""
+    import queue as qm
+    import threading
+
+    from memotr_tpu.engine.submit import _drain, _guarded
+
+    q = qm.Queue(maxsize=4)
+
+    def body():
+        q.put(1)
+        q.put(2)
+        raise ValueError("decode boom")
+
+    threading.Thread(target=_guarded(body, q), daemon=True).start()
+    got = []
+    with pytest.raises(ValueError, match="decode boom"):
+        for item in _drain(q):
+            got.append(item)
+    assert got == [1, 2]
+
+    # clean end: None marker terminates without error
+    q2 = qm.Queue()
+    threading.Thread(target=_guarded(lambda: q2.put("a"), q2),
+                     daemon=True).start()
+    assert list(_drain(q2)) == ["a"]
+
+
+class _FailingDataset:
+    """Wraps a SeqDataset; frame 2+ raises like a corrupt JPEG would."""
+
+    def __init__(self, ds):
+        self._ds = ds
+
+    def __len__(self):
+        return len(self._ds)
+
+    def __getitem__(self, i):
+        if i >= 2:
+            raise IOError("corrupt frame")
+        return self._ds[i]
+
+
+def _run_watchdogged(sub):
+    """Run sub.run() under a watchdog so a regression to the old hang shows
+    as an assertion, not a stuck test session."""
+    import threading
+
+    got = {}
+
+    def run():
+        try:
+            sub.run()
+        except BaseException as e:  # noqa: BLE001 - asserted by caller
+            got["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=300)
+    assert not t.is_alive(), "submit hung after a prefetch-worker failure"
+    return got.get("err")
+
+
+@pytest.mark.slow
+def test_decode_failure_aborts_pipelined(seq_dir, tmp_path):
+    """A prefetch decode failure must raise out of run(): the old
+    ``finally: q.put(None)`` silently truncated the sequence (rc=0, wrong
+    metrics)."""
+    sub = _make(str(tmp_path / "f"), seq_dir, {})
+    sub.area_thresh = 0.0
+    assert sub.pipelined
+    sub.dataset = _FailingDataset(sub.dataset)
+    err = _run_watchdogged(sub)
+    assert isinstance(err, IOError) and "corrupt frame" in str(err)
+
+
+@pytest.mark.slow
+def test_decode_failure_aborts_sync(seq_dir, tmp_path):
+    """The sync path's prefetch worker had no handler at all: a failure
+    left run() blocked on q.get() until an external timeout."""
+    sub = _make(str(tmp_path / "fs"), seq_dir, {"VISUALIZE": True})
+    sub.area_thresh = 0.0
+    assert not sub.pipelined
+    sub.dataset = _FailingDataset(sub.dataset)
+    err = _run_watchdogged(sub)
+    assert isinstance(err, IOError) and "corrupt frame" in str(err)

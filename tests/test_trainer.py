@@ -142,3 +142,76 @@ def test_warmup_scale():
     assert warmup_scale(100, 4) == 1.0
     ramp = [warmup_scale(i, 10) for i in range(12)]
     assert ramp == sorted(ramp) and ramp[-1] == 1.0
+
+
+def test_frozen_grads_excluded_from_clip_and_norm():
+    """Frozen-group gradients must not enter clip_by_global_norm or the
+    logged grad_norm: the reference's clip_grad_norm_ only ever sees
+    trainable grads (frozen stem/layer1 params have .grad = None,
+    /root/reference/models/backbone.py:72-74).  A huge frozen grad must
+    therefore leave the live-parameter update bit-identical to a run where
+    the frozen leaf contributes no loss at all."""
+    from memotr_tpu.engine.trainer import (init_train_state, make_train_step,
+                                           zero_frozen_grads)
+
+    params = {"model": {"backbone": {"conv1": {"kernel": jnp.ones((4,))}},
+                        "w": jnp.ones((4,))},
+              "updater": {"v": jnp.full((3,), 2.0)}}
+    labels = label_tree(params)
+    assert labels["model"]["backbone"]["conv1"]["kernel"] == "frozen"
+    assert labels["model"]["w"] == "base"
+
+    # unit: zero_frozen_grads zeros exactly the frozen leaves
+    grads = jax.tree.map(jnp.ones_like, params)
+    zeroed = zero_frozen_grads(grads, labels)
+    np.testing.assert_array_equal(
+        np.asarray(zeroed["model"]["backbone"]["conv1"]["kernel"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(zeroed["model"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(zeroed["updater"]["v"]), 1.0)
+
+    # integration: giant frozen grad vs zero frozen grad -> same live update
+    def loss_with_frozen_scale(scale):
+        def fn(trainable, frozen, batch, rng):
+            del frozen, rng
+            live = (jnp.sum((trainable["model"]["w"] - batch["t"]) ** 2)
+                    + jnp.sum((trainable["updater"]["v"] - batch["t"]) ** 2))
+            froz = jnp.sum(
+                trainable["model"]["backbone"]["conv1"]["kernel"] ** 2)
+            return live + scale * froz, {"total_loss": live,
+                                         "n_gts": jnp.zeros(())}
+        return fn
+
+    import memotr_tpu.engine.trainer as tr
+    orig = tr.clip_loss
+    lrs = {k: jnp.asarray(v, jnp.float32)
+           for k, v in {"backbone": 1e-2, "points": 1e-2, "base": 1e-2,
+                        "query_updater": 1e-2, "frozen": 0.0}.items()}
+    batch = {"t": jnp.asarray(0.5)}
+    results = {}
+    try:
+        for name, scale in (("big", 1e6), ("none", 0.0)):
+            tr.clip_loss = (lambda s: lambda t, f, m, u, c, b, r, cs, **kw:
+                            loss_with_frozen_scale(s)(t, f, b, r))(scale)
+            opt = make_optimizer(_cfg())
+            st = init_train_state(
+                jax.tree.map(jnp.copy, params["model"]),
+                jax.tree.map(jnp.copy, params["updater"]), opt)
+            step = make_train_step(None, None, None, opt, {}, labels)
+            st, logs = step(st, {}, batch, jax.random.PRNGKey(0), lrs)
+            results[name] = (st.params, logs)
+    finally:
+        tr.clip_loss = orig
+
+    for key in (("model", "w"), ("updater", "v")):
+        a = results["big"][0][key[0]][key[1]]
+        b = results["none"][0][key[0]][key[1]]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   err_msg=str(key))
+    # the frozen param itself never moves (LR 0)
+    np.testing.assert_array_equal(
+        np.asarray(results["big"][0]["model"]["backbone"]["conv1"]["kernel"]),
+        1.0)
+    # logged grad_norm reflects live grads only
+    np.testing.assert_allclose(np.asarray(results["big"][1]["grad_norm"]),
+                               np.asarray(results["none"][1]["grad_norm"]),
+                               rtol=1e-6)
