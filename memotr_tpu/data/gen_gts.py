@@ -25,7 +25,7 @@ import json
 import os
 from collections import defaultdict
 
-from ..data.bdd100k import CATEGORY_TO_LABEL
+from ..data.bdd100k import CATEGORY_TO_LABEL, LABEL_TO_CATEGORY
 
 
 def gen_mot17(seq_root: str, out_root: str):
@@ -64,6 +64,13 @@ def gen_crowdhuman(data_root: str, ann_path: str, out_root: str):
         records = [json.loads(line) for line in f]
     for rec in records:
         name = rec["ID"]
+        # The reference (gen_crowdhuman_gts.py:34-40) cv2.imread()s every
+        # annotated image, crashing on a missing file; validate the same
+        # invariant explicitly.
+        img_path = os.path.join(data_root, f"{name}.jpg")
+        if not os.path.isfile(img_path):
+            raise FileNotFoundError(
+                f"annotated image missing from data root: {img_path}")
         rows = []
         for box in rec.get("gtboxes", []):
             if box.get("tag") != "person":
@@ -81,6 +88,12 @@ def gen_crowdhuman(data_root: str, ann_path: str, out_root: str):
 
 
 def gen_bdd100k(ann_dir: str, out_root: str):
+    # The reference's executed path (gen_bdd100k_gts.py:121, filter_crowd=True
+    # filter_ignore=True) keeps only the 8 canonical category names
+    # (attr_id_dict, gen_bdd100k_gts.py:23-25) — the 'other person' /
+    # 'other vehicle' / 'trailer' aliases in CATEGORY_TO_LABEL exist for
+    # *reading* foreign GT files, not for generating them.
+    canonical = set(LABEL_TO_CATEGORY.values())
     for fn in sorted(os.listdir(ann_dir)):
         if not fn.endswith(".json"):
             continue
@@ -90,10 +103,17 @@ def gen_bdd100k(ann_dir: str, out_root: str):
         with open(os.path.join(ann_dir, fn)) as f:
             frames = json.load(f)
         for frame in frames:
+            labels = frame.get("labels", [])
+            if len(labels) < 1:
+                # Reference skips the frame before opening the file
+                # (gen_bdd100k_gts.py:42-43) — downstream bdd100k.py then
+                # treats it as GT-missing.  A frame whose labels were ALL
+                # crowd/ignore-filtered still gets an (empty) file.
+                continue
             rows = []
-            for label in frame.get("labels", []):
+            for label in labels:
                 cat = label.get("category")
-                if cat not in CATEGORY_TO_LABEL:
+                if cat not in canonical:
                     continue
                 attrs = label.get("attributes", {})
                 if attrs.get("crowd", False):

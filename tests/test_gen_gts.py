@@ -67,6 +67,13 @@ def test_crowdhuman_person_only_fresh_ids(tmp_path):
     ]
     ann.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
     out = tmp_path / "out"
+    # data_root must actually contain every annotated image — the reference
+    # cv2.imread()s each one (gen_crowdhuman_gts.py:34-40) and dies otherwise.
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        gen_crowdhuman(str(tmp_path), str(ann), str(out))
+    (tmp_path / "img_a.jpg").write_bytes(b"\xff")
+    (tmp_path / "img_b.jpg").write_bytes(b"\xff")
     gen_crowdhuman(str(tmp_path), str(ann), str(out))
 
     a = _read(out / "img_a.txt")
@@ -90,6 +97,27 @@ def test_bdd100k_classmap_and_crowd_filter(tmp_path):
             {"category": "traffic sign", "id": 5,         # unmapped class
              "box2d": {"x1": 0.0, "y1": 0.0, "x2": 1.0, "y2": 1.0},
              "attributes": {}},
+            # Aliases in CATEGORY_TO_LABEL are for READING foreign GTs; the
+            # reference generator's executed filter (filter_ignore=True,
+            # gen_bdd100k_gts.py:23-25,56-57) keeps only the 8 canonical
+            # names, so 'other person' must be dropped here.
+            {"category": "other person", "id": 6,
+             "box2d": {"x1": 0.0, "y1": 0.0, "x2": 2.0, "y2": 2.0},
+             "attributes": {}},
+        ],
+    }, {
+        # zero labels -> NO file (gen_bdd100k_gts.py:42-43): downstream
+        # bdd100k.py must see this frame as GT-missing, not GT-empty.
+        "name": "vid-0000002.jpg",
+        "labels": [],
+    }, {
+        # labels existed but all were filtered -> EMPTY file (the reference
+        # opens the file before filtering).
+        "name": "vid-0000003.jpg",
+        "labels": [
+            {"category": "trailer", "id": 7,
+             "box2d": {"x1": 0.0, "y1": 0.0, "x2": 2.0, "y2": 2.0},
+             "attributes": {}},
         ],
     }]
     (ann_dir / "vid.json").write_text(json.dumps(frames))
@@ -99,3 +127,5 @@ def test_bdd100k_classmap_and_crowd_filter(tmp_path):
     got = _read(out / "vid" / "vid-0000001.txt")
     # pedestrian is label 0 in CATEGORY_TO_LABEL -> written as 1 (+1 shift)
     assert got == [["1", "3", "1.0", "2.0", "10.0", "20.0"]]
+    assert not os.path.exists(out / "vid" / "vid-0000002.txt")
+    assert _read(out / "vid" / "vid-0000003.txt") == []
