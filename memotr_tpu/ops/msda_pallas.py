@@ -28,8 +28,14 @@ the value block, reproducing grid_sample's zero padding exactly.
 ALL levels live in one ``pallas_call``: level blocks are stacked along the
 sublane (W) axis and lane-padded to a common ``H*D`` width (zero-padded, see
 above), so the per-call overhead (~0.1 ms each, measured) is paid once.  The
-grid is ``(heads,)``; points and levels are static loops inside the program,
-reusing the head's resident value block.  Batch is ``jax.vmap``.
+grid is ``(heads, query_tiles)``: the head's value block stays VMEM-resident
+across its query tiles, queries are tiled at ``Q_TILE`` so the ``(P*Qt,
+lanes)`` stage intermediates fit VMEM at ANY query count — this is what
+makes the kernel feasible at the hybrid encoder's coarse-level scale
+(~6.3k queries over strides 16/32/64, VERDICT.md round-3 #4), not just the
+decoder's ~364.  Points are batched into the matmul rows (``P*Qt`` tall
+tents) so each level-chunk costs ONE x-interp matmul and one y-reduction
+matmul instead of ``P`` of each.  Batch is ``jax.vmap``.
 
 Backward: ``custom_vjp`` whose backward is the VJP of the
 numerically-identical XLA-gather implementation (``ms_deform_attn_xla`` —
@@ -57,55 +63,70 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(loc_ref, aw_ref, val_ref, out_ref, *, shapes, d: int,
-            lane_pads, w_starts, n_points: int, max_ch: int):
-    """One head: all levels, all points.
+            lane_pads, w_starts, n_points: int, max_lanes: int):
+    """One (head, query-tile): all levels, points batched into matmul rows.
 
-    loc_ref: (1, L, P, Qp, 2) f32 [x, y] in [0, 1]
-    aw_ref:  (1, L, P, Qp, 1) f32 attention weights
+    loc_ref: (1, L, P, Qt, 2) f32 [x, y] in [0, 1]
+    aw_ref:  (1, L, P, Qt, 1) f32 attention weights
     val_ref: (1, sumW, HDmax)  value blocks stacked along sublanes,
              level l at rows [w_starts[l], +W_l), lanes [0, H_l*D) real,
              rest ZERO (makes border corners and pad lanes contribute 0)
-    out_ref: (1, Qp, D) f32
+    out_ref: (1, Qt, D) f32
     """
-    qp = loc_ref.shape[3]
+    qt = loc_ref.shape[3]
+    pq = n_points * qt
     vdt = val_ref.dtype
-    acc = jnp.zeros((qp, d), jnp.float32)
+    acc = jnp.zeros((qt, d), jnp.float32)
 
     for lid, (h, w) in enumerate(shapes):
         hd = lane_pads[lid]                       # padded H*D lane width
         ws = w_starts[lid]
+        # stack the points along sublanes: ONE (P*Qt)-tall tent per level
+        # feeds one matmul per lane chunk instead of P of them (better MXU
+        # row utilization, P-fold fewer dot invocations)
+        px = jnp.concatenate(
+            [(loc_ref[0, lid, p_, :, 0] * w - 0.5)[:, None]
+             for p_ in range(n_points)], axis=0)               # (P*Qt, 1)
+        py = jnp.concatenate(
+            [(loc_ref[0, lid, p_, :, 1] * h - 0.5)[:, None]
+             for p_ in range(n_points)], axis=0)
+        aw = jnp.concatenate(
+            [aw_ref[0, lid, p_, :, :] for p_ in range(n_points)], axis=0)
         # Mosaic iota must be integer-typed
         wx = jax.lax.broadcasted_iota(
-            jnp.int32, (qp, w), 1).astype(jnp.float32)
-        for p in range(n_points):
-            loc = loc_ref[0, lid, p]                               # (Qp, 2)
-            aw = aw_ref[0, lid, p, :, 0]                           # (Qp,)
-            px = (loc[:, 0] * w - 0.5)[:, None]
-            py = (loc[:, 1] * h - 0.5)[:, None]
-            # bilinear tent in x, attention weight folded in
-            ox = jnp.maximum(1.0 - jnp.abs(px - wx), 0.0) * aw[:, None]
+            jnp.int32, (pq, w), 1).astype(jnp.float32)
+        # bilinear tent in x, attention weight folded in
+        ox = jnp.maximum(1.0 - jnp.abs(px - wx), 0.0) * aw
 
-            # chunk the H*D lane axis to bound the (Qp, H*D) intermediates;
-            # stage-2 runs in the value dtype (the XLA path also casts its
-            # bilinear weights to the value dtype, msda.py:83)
-            for c0 in range(0, hd, max_ch * d):
-                cl = min(max_ch * d, hd - c0)                  # lanes
-                vblk = val_ref[0, ws:ws + w, c0:c0 + cl]       # (W, cl)
-                # Mosaic requires 32-bit matmul accumulators; cast after
-                t = jnp.dot(ox.astype(vdt), vblk,
-                            preferred_element_type=jnp.float32
-                            ).astype(vdt)                      # (Qp, cl)
-                lane_h = jax.lax.broadcasted_iota(
-                    jnp.int32, (qp, cl), 1) // d + (c0 // d)
-                oyl = jnp.maximum(
-                    1.0 - jnp.abs(py - lane_h.astype(jnp.float32)), 0.0)
-                prod = t * oyl.astype(vdt)
-                rows = jax.lax.broadcasted_iota(jnp.int32, (cl, d), 0)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (cl, d), 1)
-                sel = (rows % d == cols).astype(vdt)
-                acc = acc + jnp.dot(prod, sel,
-                                    preferred_element_type=jnp.float32)
+        # chunk the H*D lane axis to bound the (P*Qt, lanes) intermediates;
+        # stage-2 runs in the value dtype (the XLA path also casts its
+        # bilinear weights to the value dtype, msda.py:83)
+        for c0 in range(0, hd, max_lanes):
+            cl = min(max_lanes, hd - c0)                   # lanes
+            vblk = val_ref[0, ws:ws + w, c0:c0 + cl]       # (W, cl)
+            # Mosaic requires 32-bit matmul accumulators; cast after
+            t = jnp.dot(ox.astype(vdt), vblk,
+                        preferred_element_type=jnp.float32
+                        ).astype(vdt)                      # (P*Qt, cl)
+            lane_h = jax.lax.broadcasted_iota(
+                jnp.int32, (pq, cl), 1) // d + (c0 // d)
+            oyl = jnp.maximum(
+                1.0 - jnp.abs(py - lane_h.astype(jnp.float32)), 0.0)
+            prod = t * oyl.astype(vdt)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (cl, d), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (cl, d), 1)
+            sel = (rows % d == cols).astype(vdt)
+            pacc = jnp.dot(prod, sel,
+                           preferred_element_type=jnp.float32)  # (P*Qt, D)
+            for p_ in range(n_points):
+                acc = acc + pacc[p_ * qt:(p_ + 1) * qt]
     out_ref[0] = acc
+
+
+# Query-tile size: bounds the kernel's (P*Qt, lanes) stage intermediates so
+# VMEM use is flat in the query count (feasibility at encoder scales).  256
+# rows x 512 lanes f32 x P=4 is ~2 MB per stage buffer.
+_Q_TILE = 256
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -113,7 +134,12 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
     b, hw, m, d = value.shape
     _, lq, _, nl, p, _ = sampling_locations.shape
     assert nl == len(spatial_shapes)
-    qp = _round_up(lq, 8)
+    if lq > _Q_TILE:
+        q_tile = _Q_TILE
+        qp = _round_up(lq, q_tile)
+    else:
+        q_tile = qp = _round_up(lq, 8)
+    n_qt = qp // q_tile
 
     # (B, Lq, M, L, P, 2) -> (B, M, L, P, Qp, 2)
     loc = jnp.transpose(sampling_locations, (0, 2, 3, 4, 1, 5))
@@ -147,24 +173,33 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
         wsum += w_pad
     val = jnp.concatenate(blocks, axis=2)                 # (B, M, sumW, HDmax)
 
+    # lane-chunk size: a multiple of D (the kernel derives each lane's h
+    # coordinate as ``lane // d + c0 // d``) and of the 128-lane vreg width
+    # whenever D allows it
+    max_lanes = max(1, 512 // d) * d
+
     kern = functools.partial(
         _kernel, shapes=tuple(spatial_shapes), d=d,
         lane_pads=tuple(lane_pads), w_starts=tuple(w_starts), n_points=p,
-        max_ch=64)
+        max_lanes=max_lanes)
 
     def run(val_b, loc_b, aw_b):
         return pl.pallas_call(
             kern,
-            grid=(m,),
+            # query tiles innermost: the head's value block stays
+            # VMEM-resident across its query tiles
+            grid=(m, n_qt),
             in_specs=[
-                pl.BlockSpec((1, nl, p, qp, 2), lambda i: (i, 0, 0, 0, 0),
+                pl.BlockSpec((1, nl, p, q_tile, 2),
+                             lambda i, j: (i, 0, 0, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nl, p, qp, 1), lambda i: (i, 0, 0, 0, 0),
+                pl.BlockSpec((1, nl, p, q_tile, 1),
+                             lambda i, j: (i, 0, 0, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wsum, hd_max), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, wsum, hd_max), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, qp, d), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, q_tile, d), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m, qp, d), jnp.float32),
             interpret=interpret,

@@ -158,6 +158,20 @@ def test_pallas_forward_awkward_shapes():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_pallas_query_tiling():
+    """lq > _Q_TILE exercises the (heads, query_tiles) grid with a padded
+    final tile — the VMEM-feasibility mechanism beyond decoder scale
+    (VERDICT round-3 #4)."""
+    from memotr_tpu.ops.msda_pallas import _Q_TILE, ms_deform_attn_pallas
+
+    shapes = ((13, 21), (7, 11))
+    lq = _Q_TILE + 44                      # 2 tiles, final one part-padded
+    value, loc, aw = _rand_inputs(3, shapes, b=1, m=2, d=8, p=2, lq=lq)
+    ref = ms_deform_attn_xla(value, shapes, loc, aw)
+    out = ms_deform_attn_pallas(value, shapes, loc, aw, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
 def test_pallas_gradients_match_xla():
     from memotr_tpu.ops.msda_pallas import ms_deform_attn_pallas
 
