@@ -72,6 +72,9 @@ FLAGSHIP = {
     "n_enc_layers": int(_os.environ.get("BENCH_LAYERS", "3")),
     "shared_cpb": _os.environ.get("BENCH_SHARED_CPB", "0") == "1",
     "hybrid_min_level": int(_os.environ.get("BENCH_HYBRID_MINLVL", "1")),
+    # MSDA impl A/B (VERDICT r3 #4): auto | xla | pallas — flows to every
+    # MSDeformAttn site (decoder cross-attn + hybrid/deformable encoder)
+    "msda_impl": _os.environ.get("BENCH_MSDA_IMPL", "auto"),
 }
 
 
@@ -86,7 +89,7 @@ def _flagship_model_updater(encoder_type: str, n_enc_layers: int,
                    hidden_dim=c, ffn_dim=2048, n_heads=8,
                    n_enc_layers=n_enc_layers, n_dec_layers=6,
                    merge_det_track_layer=1, use_dab=True, dtype=jnp.bfloat16,
-                   msda_impl="auto", encoder_type=encoder_type,
+                   msda_impl=FLAGSHIP["msda_impl"], encoder_type=encoder_type,
                    windowed_shared_cpb=shared_cpb,
                    hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
@@ -222,7 +225,8 @@ def main():
                    hidden_dim=c, ffn_dim=2048, n_heads=8,
                    n_enc_layers=n_enc_layers,
                    n_dec_layers=6, merge_det_track_layer=1, use_dab=True,
-                   dtype=dtype, msda_impl="auto", encoder_type=encoder_type,
+                   dtype=dtype, msda_impl=FLAGSHIP["msda_impl"],
+                   encoder_type=encoder_type,
                    windowed_shared_cpb=shared_cpb,
                    hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
