@@ -197,7 +197,20 @@ VARIANTS = {
     "windowed_w256_pre6": ("windowed", {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
                                         "WINDOWED_PRENORM": True,
                                         "NUM_ENC_LAYERS": 6}),
+    # the transplant lever AT deployment width: teacher is the same-campaign
+    # deformable_w256 seed-42 checkpoint (the 64-dim @teacher cannot seed a
+    # 256-dim student).  Motivated by the r4 seed-42 width rows: the
+    # windowed-vs-deformable gap grows from ~4 HOTA at 64-dim to ~13 at
+    # 256-dim, so whether transplant transfers to width decides the
+    # flagship-width story (VERDICT.md round-3 items 1-2).
+    "windowed_w256_transplant": ("windowed",
+                                 {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
+                                  "PRETRAINED_MODEL": "@teacher_w256"}),
 }
+
+# "@teacher*" placeholder -> the variant whose seed-42 checkpoint serves as
+# teacher/pretrain source (trained first in the same campaign workdir).
+TEACHER_VARIANTS = {"@teacher": "deformable", "@teacher_w256": "deformable_w256"}
 
 
 def run_dir(workdir: str, name: str, seed: int) -> str:
@@ -206,8 +219,9 @@ def run_dir(workdir: str, name: str, seed: int) -> str:
     return os.path.join(workdir, f"{name}_s{seed}")
 
 
-def teacher_ckpt(workdir: str, epochs: int) -> str:
-    return os.path.join(run_dir(workdir, "deformable", 42),
+def teacher_ckpt(workdir: str, epochs: int,
+                 variant: str = "deformable") -> str:
+    return os.path.join(run_dir(workdir, variant, 42),
                         f"checkpoint_{epochs - 1}")
 
 
@@ -251,10 +265,11 @@ def run_variant(root: str, workdir: str, name: str, epochs: int,
     cfg.update(overrides)
     cfg["SEED"] = seed
     for key in ("PRETRAINED_MODEL", "DISTILL_TEACHER"):
-        if cfg.get(key) == "@teacher":
-            t = teacher_ckpt(workdir, epochs)
+        tv = TEACHER_VARIANTS.get(cfg.get(key))
+        if tv is not None:
+            t = teacher_ckpt(workdir, epochs, tv)
             assert os.path.isdir(t), \
-                f"{name} needs the deformable seed-42 teacher first ({t})"
+                f"{name} needs the {tv} seed-42 teacher first ({t})"
             cfg[key] = t
     # salvage interrupted runs: resume from the newest epoch checkpoint
     # instead of retraining from scratch (the per-run timeout kills runs
