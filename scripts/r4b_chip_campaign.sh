@@ -55,6 +55,12 @@ run() {  # run <tag> <cmd...>
 FE="python tools/flagship_eval.py $W 10"
 run levers43       $FE windowed_transplant,windowed_distill,windowed_transplant_distill 43
 run w256trans42    $FE windowed_w256_transplant 42
+# MSDA impl microbench (VERDICT round-3 #4): XLA-gather vs query-tiled
+# Pallas at decoder/coarse/encoder scales — the measurement that decides
+# whether the Pallas kernel can lift hybrid above 30 FPS.  ~15 min of
+# chip, results into reports/ so the evidence is committable.
+run msda_bench     python tools/profile_msda.py 20
+cp "$LOGS/msda_bench.log" reports/msda_microbench_r4.txt 2>/dev/null || true
 run w256_43        $FE deformable_w256,windowed_w256 43
 run hybrid42       $FE hybrid,hybrid_transplant 42
 run knobs43        $FE windowed_sharedcpb,windowed_warmup 43
