@@ -206,6 +206,14 @@ VARIANTS = {
     "windowed_w256_transplant": ("windowed",
                                  {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
                                   "PRETRAINED_MODEL": "@teacher_w256"}),
+    # the EXACT shipped-flagship candidate: deployment width + shared-CPB
+    # rel-pos (the measured-cheaper bias path, promoted if quality-neutral)
+    # + transplant init — one row that ties bench.py's benched shape to a
+    # quality number 1:1 (round-3 verdict weak #2).
+    "windowed_w256_transplant_cpb": ("windowed",
+                                     {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
+                                      "PRETRAINED_MODEL": "@teacher_w256",
+                                      "WINDOWED_SHARED_CPB": True}),
 }
 
 # "@teacher*" placeholder -> the variant whose seed-42 checkpoint serves as
