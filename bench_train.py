@@ -1,13 +1,19 @@
-"""Training-step throughput on one chip at the reference's per-chip shape.
+"""Training-step throughput + memory on one chip at the reference's shape.
 
-Measures the full compiled train step (forward over a 2-frame clip +
-criterion + in-graph Hungarian + grads + AdamW) at the reference's per-GPU
-training shape: batch 1, clip length 2, 768x1408 canvas, remat on — the
-TPU analogue of the reference's 8-GPU batch-1 setup (README.md:102-108).
+Measures the full compiled train step (forward over a clip + criterion +
+in-graph Hungarian + grads + AdamW) at the reference's per-GPU training
+shape: batch 1, 768x1408 canvas, remat on — the TPU analogue of the
+reference's 8-GPU batch-1 setup (/root/reference/README.md:102-108, which
+reports ~10 GB/GPU at clip 2 and >30 GB at the clip-5 final stage).
 
 Usage: ``python bench_train.py [windowed|deformable]`` (default: windowed —
-the TPU-native flagship encoder).  Prints ONE JSON line
-{"metric", "value", "unit", "vs_baseline"} where value is seconds/iter.
+the TPU-native flagship encoder).  ``BENCH_CLIP`` overrides the clip length
+(default 2; the reference's DanceTrack curriculum ends at 5 —
+SAMPLE_LENGTHS in configs/train_dancetrack.yaml).  Prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} where value is seconds/iter,
+plus a second line with the XLA memory analysis of the compiled step
+(argument/output/temp/peak bytes) so the train-memory row vs the
+reference's GPU numbers is a committed measurement, not an estimate.
 """
 from __future__ import annotations
 
@@ -28,6 +34,7 @@ import os as _os
 # configs/train_dancetrack_windowed.yaml); BENCH_LAYERS overrides for A/B.
 # Recorded PERF_NOTES numbers: 0.187 s/iter was the round-2 6-layer shape.
 _N_ENC_LAYERS = int(_os.environ.get("BENCH_LAYERS", "3"))
+_CLIP = int(_os.environ.get("BENCH_CLIP", "2"))
 
 
 def config(encoder_type: str) -> dict:
@@ -65,7 +72,7 @@ def main():
     model = build_model(cfg)
     updater = build_query_updater(cfg)
 
-    b, t, h, w, g, s, c = 1, 2, 768, 1408, 32, cfg["TRACK_SLOTS"], 256
+    b, t, h, w, g, s, c = 1, _CLIP, 768, 1408, 32, cfg["TRACK_SLOTS"], 256
     rng = jax.random.PRNGKey(0)
     st = TrackState.empty(1, s, c, 1, use_dab=True)
     variables = jax.jit(model.init)(
@@ -98,9 +105,37 @@ def main():
     lrs = {k: jnp.asarray(v, jnp.float32)
            for k, v in group_lrs(cfg, 0).items()}
 
+    # XLA memory analysis of the compiled step (exact, from the compiler —
+    # works without executing).  The persistent compile cache shares the
+    # compilation with the timed call below.
+    mem = {}
+    try:
+        lowered = train_step.lower(
+            state, frozen, batch, jax.random.PRNGKey(2), lrs)
+        ma = lowered.compile().memory_analysis()
+        if ma is not None:
+            gib = 1024 ** 3
+            mem = {
+                "args_gib": round(ma.argument_size_in_bytes / gib, 3),
+                "output_gib": round(ma.output_size_in_bytes / gib, 3),
+                "temp_gib": round(ma.temp_size_in_bytes / gib, 3),
+                "code_gib": round(ma.generated_code_size_in_bytes / gib, 3),
+            }
+            mem["total_gib"] = round(sum(mem.values()), 3)
+    except Exception as e:   # relay/backend may not expose the analysis
+        mem = {"error": str(e)[:200]}
+
     # warmup / compile; host-fetch forces execution through the axon relay
     state, logs = train_step(state, frozen, batch, jax.random.PRNGKey(2), lrs)
     _ = float(jax.device_get(logs["total_loss"]))
+
+    try:   # live HBM high-water mark, when the backend exposes it
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            mem["peak_hbm_gib"] = round(
+                stats["peak_bytes_in_use"] / 1024 ** 3, 3)
+    except Exception:
+        pass
 
     n_iters = 5
     t0 = time.perf_counter()
@@ -114,12 +149,18 @@ def main():
     # hardware; report s/iter directly, vs_baseline = 1.0 s / spi
     print(json.dumps({
         "metric": f"train step s/iter ({encoder_type} encoder, "
-                  f"{_N_ENC_LAYERS} enc layers, clip=2, "
+                  f"{_N_ENC_LAYERS} enc layers, clip={_CLIP}, "
                   f"768x1408, batch 1, remat)",
         "value": round(spi, 3),
         "unit": "s/iter",
         "vs_baseline": round(1.0 / spi, 3),
     }))
+    if mem:
+        print(json.dumps({"memory_analysis": mem,
+                          "note": "XLA-reported bytes for the compiled "
+                                  "donated train step; reference trains "
+                                  "~10 GB/GPU at clip 2 "
+                                  "(README.md:102-108)"}))
 
 
 if __name__ == "__main__":

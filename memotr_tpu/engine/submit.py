@@ -64,6 +64,36 @@ def results_to_pixels(results: Dict, ori_hw, result_thresh: float,
             results["ids"][lane], results["labels"][lane])
 
 
+def format_frame_results(i: int, results: Dict, ori_hw, path: str,
+                         result_thresh: float, area_thresh: float,
+                         dataset_name: str, lane: int = 0):
+    """One frame's (host numpy) results -> its output record.
+
+    Returns ``(bdd_frame_dict, None)`` for BDD100K or ``(None, txt_lines)``
+    for the MOT txt format — the single filter+format path behind both the
+    per-sequence ``Submitter`` and the lockstep ``BatchedSubmitter``
+    (reference writer: submit_engine.py:138-186; BDD JSON quirks:
+    submit_engine.py:154-170).
+    """
+    keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
+        results, ori_hw, result_thresh, area_thresh, lane=lane)
+    if dataset_name == "BDD100K":
+        img_name = os.path.basename(path)
+        frame_result = {
+            "name": img_name, "videoName": img_name[:-12],
+            "frameIndex": i, "labels": []}
+        for j in keep_idx:
+            frame_result["labels"].append({
+                "id": str(int(ids[j])),
+                "category": BDD_LABEL_NAMES[int(labels[j])],
+                "box2d": {"x1": float(x1[j]), "y1": float(y1[j]),
+                          "x2": float(x1[j] + w[j]),
+                          "y2": float(y1[j] + h[j])}})
+        return frame_result, None
+    return None, [f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
+                  f"{w[j]},{h[j]},1,-1,-1,-1\n" for j in keep_idx]
+
+
 _EVAL_STEP_CACHE: Dict[tuple, "object"] = {}
 
 
@@ -283,27 +313,15 @@ class Submitter:
     def _write_frame(self, i: int, results: Dict, ori_hw,
                      path: str, bdd_results: List[Dict]):
         """Filter one frame's (host numpy) results and write them."""
-        keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
-            results, ori_hw, self.result_thresh, self.area_thresh)
-        if self.dataset_name == "BDD100K":
-            img_name = os.path.basename(path)
-            frame_result = {
-                "name": img_name, "videoName": img_name[:-12],
-                "frameIndex": i, "labels": []}
-            for j in keep_idx:
-                frame_result["labels"].append({
-                    "id": str(int(ids[j])),
-                    "category": BDD_LABEL_NAMES[int(labels[j])],
-                    "box2d": {"x1": float(x1[j]), "y1": float(y1[j]),
-                              "x2": float(x1[j] + w[j]),
-                              "y2": float(y1[j] + h[j])}})
-            bdd_results.append(frame_result)
+        bdd_frame, txt_lines = format_frame_results(
+            i, results, ori_hw, path, self.result_thresh, self.area_thresh,
+            self.dataset_name)
+        if bdd_frame is not None:
+            bdd_results.append(bdd_frame)
         else:
             with open(os.path.join(self.predict_dir,
                                    f"{self.seq_name}.txt"), "a") as f:
-                for j in keep_idx:
-                    f.write(f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
-                            f"{w[j]},{h[j]},1,-1,-1,-1\n")
+                f.write("".join(txt_lines))
 
     def _finish(self, bdd_results: List[Dict], overflow_total: int):
         if self.dataset_name == "BDD100K":
@@ -577,28 +595,14 @@ class BatchedSubmitter:
             for lane in range(b):
                 if i >= lens[lane]:        # this lane's sequence has ended
                     continue
-                keep_idx, x1, y1, w, h, ids, labels = results_to_pixels(
-                    results, ori_hws[lane], self.result_thresh,
-                    self.area_thresh, lane=lane)
-                if self.dataset_name == "BDD100K":
-                    img_name = os.path.basename(paths[lane])
-                    frame_result = {
-                        "name": img_name, "videoName": img_name[:-12],
-                        "frameIndex": i, "labels": []}
-                    for j in keep_idx:
-                        frame_result["labels"].append({
-                            "id": str(int(ids[j])),
-                            "category": BDD_LABEL_NAMES[int(labels[j])],
-                            "box2d": {
-                                "x1": float(x1[j]), "y1": float(y1[j]),
-                                "x2": float(x1[j] + w[j]),
-                                "y2": float(y1[j] + h[j])}})
-                    bdd_results[lane].append(frame_result)
+                bdd_frame, lines = format_frame_results(
+                    i, results, ori_hws[lane], paths[lane],
+                    self.result_thresh, self.area_thresh,
+                    self.dataset_name, lane=lane)
+                if bdd_frame is not None:
+                    bdd_results[lane].append(bdd_frame)
                 else:
-                    for j in keep_idx:
-                        txt_lines[lane].append(
-                            f"{i + 1},{int(ids[j])},{x1[j]},{y1[j]},"
-                            f"{w[j]},{h[j]},1,-1,-1,-1\n")
+                    txt_lines[lane].extend(lines)
         for lane, name in enumerate(self.seq_names):
             if self.dataset_name == "BDD100K":
                 with open(os.path.join(self.predict_dir,

@@ -189,8 +189,17 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
     the teacher forward (stop-gradient, empty track slots: neither the
     memory nor the det-query outputs depend on live tracks) is run per frame
     and ``distill_frame_losses`` terms are added to the total.
+
+    ``TRAIN_FRAME_SCAN`` (config, default off) dispatches to the
+    ``lax.scan`` formulation ``_clip_loss_scan`` below — identical numerics
+    (tests/test_trainer_scan.py), one traced frame body instead of T.
     """
     cs = config_static
+    if cs.get("frame_scan") and not cs.get("visualize") \
+            and images_frames_scannable(batch, cs):
+        return _clip_loss_scan(trainable, frozen, model, updater, criterion,
+                               batch, rng, config_static, distill=distill,
+                               teacher_params=teacher_params)
     images = batch["images"]
     b, t = images.shape[0], images.shape[1]
     model_params = {"params": trainable["model"], **frozen}
@@ -302,6 +311,151 @@ def clip_loss(trainable, frozen, model, updater, criterion: ClipCriterion,
     return total, logs
 
 
+def images_frames_scannable(batch, cs) -> bool:
+    """Scan pays off only when >= 2 frames land inside the scanned span
+    (frames [no_grad, t-1); the prefix and the last frame stay unrolled)."""
+    t = batch["images"].shape[1]
+    return (t - 1 - cs["no_grad_frames"]) >= 2
+
+
+def _clip_loss_scan(trainable, frozen, model, updater, criterion,
+                    batch: Dict, rng: jax.Array, config_static: Dict,
+                    distill=None, teacher_params=None
+                    ) -> Tuple[jnp.ndarray, Dict]:
+    """``lax.scan`` formulation of ``clip_loss`` (TRAIN_FRAME_SCAN).
+
+    The unrolled clip loop traces and compiles the frame body T times — the
+    dominant cold-compile cost of the train step (~90 s windowed / ~4 min
+    deformable at proxy scale, ROUND3.md).  Here the frame body is traced
+    ONCE: the no-grad prefix frames (stop-gradient, like
+    train_engine.py:119-124) and the postprocess-free last frame
+    (train_engine.py:213-215) stay unrolled, frames [k, t-1) run under one
+    ``lax.scan``.  Numerics match the unrolled path to float tolerance
+    (tests/test_trainer_scan.py); VISUALIZE keeps the unrolled path (its
+    per-frame debug dict is not scan-stackable).
+    """
+    cs = config_static
+    images = batch["images"]
+    b, t = images.shape[0], images.shape[1]
+    k = cs["no_grad_frames"]
+    deterministic = cs["dropout"] == 0.0
+
+    keys = jax.random.split(rng, 3 * t)
+    keys = keys.reshape((t, 3) + keys.shape[1:])
+
+    def empty_state():
+        return TrackState.empty(b, cs["track_slots"], cs["hidden_dim"],
+                                cs["num_classes"], use_dab=cs["use_dab"])
+
+    def frame_body(state, f_images, f_mask, f_gtb, f_gtl, f_gti, f_gtm,
+                   f_keys, postprocess, no_augment):
+        """One frame: forward -> distill terms -> criterion -> (postprocess).
+        Returns (losses, n_gts(B,), next_state, dterms)."""
+        gt = FrameGT(boxes=f_gtb, labels=f_gtl, ids=f_gti, mask=f_gtm)
+        frames = PaddedFrames(images=f_images, mask=f_mask)
+        mp = {"params": trainable["model"], **frozen}
+        up = {"params": trainable["updater"]}
+        out = model_forward(
+            model, mp, frames, state, deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": f_keys[0]})
+        dterms = {}
+        if distill is not None:
+            t_out = jax.lax.stop_gradient(model_forward(
+                distill["model"], teacher_params, frames, empty_state(),
+                deterministic=True))
+            dterms = distill_frame_losses(out, t_out, model.n_det_queries)
+        losses, n_gts, state, new_cand, um_cand = criterion.process_frame(
+            out, state, gt)
+        if postprocess:
+            state = select_active_tracks_train(
+                state, new_cand, um_cand, f_keys[1], cs["update_threshold"],
+                cs["tp_drop_ratio"], cs["fp_insert_ratio"],
+                no_augment=no_augment)
+            state = apply_query_updater(
+                updater, up, state, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": f_keys[2]})
+        return losses, n_gts, state, dterms
+
+    def frame_args(f):
+        return (images[:, f], batch["mask"][:, f], batch["gt_boxes"][:, f],
+                batch["gt_labels"][:, f], batch["gt_ids"][:, f],
+                batch["gt_mask"][:, f], keys[f])
+
+    state = empty_state()
+    per_frame = []      # (losses, n_gts(B,), dterms) in frame order
+
+    # no-grad prefix, unrolled under stop_gradient (train_engine.py:119-124)
+    for f in range(k):
+        losses, n_gts, state, dterms = jax.lax.stop_gradient(frame_body(
+            state, *frame_args(f), postprocess=True,
+            no_augment=f < k - 1))
+        per_frame.append((losses, n_gts, dterms))
+
+    # frames [k, t-1): ONE scanned body with postprocess
+    def scan_step(state, xs):
+        losses, n_gts, state, dterms = frame_body(
+            state, *xs, postprocess=True, no_augment=False)
+        return state, (losses, n_gts, dterms)
+
+    xs = (jnp.moveaxis(images[:, k:t - 1], 1, 0),
+          jnp.moveaxis(batch["mask"][:, k:t - 1], 1, 0),
+          jnp.moveaxis(batch["gt_boxes"][:, k:t - 1], 1, 0),
+          jnp.moveaxis(batch["gt_labels"][:, k:t - 1], 1, 0),
+          jnp.moveaxis(batch["gt_ids"][:, k:t - 1], 1, 0),
+          jnp.moveaxis(batch["gt_mask"][:, k:t - 1], 1, 0),
+          keys[k:t - 1])         # keys are already time-major (t, 3, ...)
+    state, (s_losses, s_ngts, s_dterms) = jax.lax.scan(scan_step, state, xs)
+    n_scan = t - 1 - k
+    for i in range(n_scan):
+        per_frame.append((
+            jax.tree.map(lambda x: x[i], s_losses),
+            jax.tree.map(lambda x: x[i], s_ngts),
+            jax.tree.map(lambda x: x[i], s_dterms)))
+
+    # last frame, unrolled, skips postprocess (train_engine.py:213-215)
+    losses, n_gts, state, dterms = frame_body(
+        state, *frame_args(t - 1), postprocess=False, no_augment=False)
+    per_frame.append((losses, n_gts, dterms))
+
+    # accumulation identical to the unrolled path
+    loss_acc: Dict[str, jnp.ndarray] = {}
+    frame_logs: Dict[str, jnp.ndarray] = {}
+    n_gts_total = jnp.zeros((), jnp.float32)
+    distill_acc = jnp.zeros((), jnp.float32)
+    for f, (losses, n_gts, dterms) in enumerate(per_frame):
+        for name, v in dterms.items():
+            w = distill["weights"].get(name, 1.0)
+            distill_acc = distill_acc + w * v / t
+            frame_logs[name] = frame_logs.get(name, 0.0) + v / t
+        for name, v in losses.items():
+            loss_acc[name] = loss_acc.get(name, 0.0) + v * cs["frame_weight"]
+        frame_gts = jnp.sum(n_gts).astype(jnp.float32)
+        n_gts_total = n_gts_total + frame_gts
+        frame_norm = jnp.maximum(frame_gts / cs["world_size"], 1.0) \
+            * cs["world_size"]
+        for name in ("box_l1_loss", "box_giou_loss", "label_focal_loss"):
+            if name in losses:
+                frame_logs[f"frame{f}_{name}"] = losses[name] / frame_norm
+
+    world = cs["world_size"]
+    normalizer = jnp.maximum(n_gts_total / world, 1.0) * world
+    weights = cs["loss_weights"]
+
+    def w_for(name):
+        for key_ in LOSS_WEIGHT_KEYS:
+            if key_ in name:
+                return weights[key_]
+        return 1.0
+
+    total = sum(w_for(name) * v for name, v in loss_acc.items()) / normalizer
+    total = total + distill_acc
+    logs = {name: v / normalizer for name, v in loss_acc.items()}
+    logs.update(frame_logs)
+    logs["total_loss"] = total
+    logs["n_gts"] = n_gts_total
+    return total, logs
+
+
 def static_config(config: dict, model, world_size: int = 1) -> Dict:
     no_grad = cfg_get(config, "NO_GRAD_FRAMES", None)
     return {
@@ -313,6 +467,7 @@ def static_config(config: dict, model, world_size: int = 1) -> Dict:
         "tp_drop_ratio": cfg_get(config, "TP_DROP_RATE", 0.0),
         "fp_insert_ratio": cfg_get(config, "FP_INSERT_RATE", 0.0),
         "no_grad_frames": 0 if no_grad is None else no_grad,
+        "frame_scan": bool(config.get("TRAIN_FRAME_SCAN", False)),
         "visualize": bool(config.get("VISUALIZE", False)),
         "dropout": config.get("DROPOUT", 0.0),
         "frame_weight": 1.0,

@@ -122,12 +122,20 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto"):
     """Dispatching entry point.  ``impl``: auto | pallas | xla.
 
-    ``auto`` resolves to the XLA fused-gather path: the gather-free Pallas
-    kernel (ops/msda_pallas.py) measures at parity on v5e at decoder scale
-    (0.65-0.8 vs 0.65 ms/layer; PERF_NOTES.md) and is VMEM-infeasible at
-    encoder scale, so the gather path is never worse.  ``pallas`` selects
-    the kernel explicitly (decoder-scale query counts only).
+    ``auto`` resolves to the query-tiled gather-free Pallas kernel on TPU
+    (ops/msda_pallas.py) and the XLA fused-gather path elsewhere.  Since the
+    round-4 query tiling, the kernel is VMEM-feasible at any query count and
+    measured FASTER than the gather path at every production scale on v5e
+    (reports/msda_microbench_r4.txt: decoder 1.89 vs 2.29 ms/layer,
+    hybrid-coarse 5.58 vs 11.36, encoder 31.9 vs 49.2).  Its backward is
+    the XLA path's VJP (msda_pallas._bwd), so training gets the forward
+    speedup with unchanged gradient numerics.  ``xla`` forces the gather
+    path (bit-exact against the round-1..3 parity baselines); ``pallas``
+    forces the kernel (errors off-TPU outside interpret mode).
     """
+    if impl == "auto":
+        from .msda_pallas import pallas_supported
+        impl = "pallas" if pallas_supported() else "xla"
     if impl == "pallas":
         from .msda_pallas import ms_deform_attn_pallas
         return ms_deform_attn_pallas(value, spatial_shapes,
