@@ -122,20 +122,21 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto"):
     """Dispatching entry point.  ``impl``: auto | pallas | xla.
 
-    ``auto`` resolves to the query-tiled gather-free Pallas kernel on TPU
-    (ops/msda_pallas.py) and the XLA fused-gather path elsewhere.  Since the
-    round-4 query tiling, the kernel is VMEM-feasible at any query count and
-    measured FASTER than the gather path at every production scale on v5e
+    ``auto`` resolves to the XLA fused-gather path everywhere.  The
+    query-tiled gather-free Pallas kernel (ops/msda_pallas.py) wins the
+    ISOLATED microbench at every production scale on v5e
     (reports/msda_microbench_r4.txt: decoder 1.89 vs 2.29 ms/layer,
-    hybrid-coarse 5.58 vs 11.36, encoder 31.9 vs 49.2).  Its backward is
-    the XLA path's VJP (msda_pallas._bwd), so training gets the forward
-    speedup with unchanged gradient numerics.  ``xla`` forces the gather
-    path (bit-exact against the round-1..3 parity baselines); ``pallas``
-    forces the kernel (errors off-TPU outside interpret mode).
+    hybrid-coarse 5.58 vs 11.36, encoder 31.9 vs 49.2), but the round-4
+    FULL-PIPELINE A/B on the flagship went the other way: 56.5 FPS with the
+    kernel in the 6 decoder layers vs 68.0 FPS with the gather path
+    (BENCH_MSDA_IMPL A/B, PERF_NOTES round 4) — in context XLA fuses the
+    gathers with the surrounding projections, which the opaque custom-call
+    boundary forbids.  So ``auto`` stays ``xla``; ``pallas`` remains the
+    explicit opt-in (errors off-TPU outside interpret mode) and the
+    microbench documents where a standalone kernel could matter.
     """
     if impl == "auto":
-        from .msda_pallas import pallas_supported
-        impl = "pallas" if pallas_supported() else "xla"
+        impl = "xla"
     if impl == "pallas":
         from .msda_pallas import ms_deform_attn_pallas
         return ms_deform_attn_pallas(value, spatial_shapes,
