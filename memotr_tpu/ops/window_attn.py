@@ -114,7 +114,9 @@ def _kernel(x_ref, pos_ref, m_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             wh: int, ww: int, wpp: int, n_heads: int, has_bias: bool):
     """One (batch, window-row, window-chunk): ``wpp`` windows end-to-end.
 
-    x_ref/pos_ref: (1, wh, wpp*ww, C); m_ref: (1, wh, wpp*ww) f32 (1=pad);
+    x_ref/pos_ref: (1, wh, wpp*ww, C); m_ref: (1, 1, wpp, L) f32 (1=pad,
+    pre-partitioned in the wrapper — Mosaic cannot split the lane dim of
+    the in-kernel mask reshape, and the mask is tiny anyway);
     w*_ref: (C, C); b*_ref: (1, C); bias_ref: (n_heads, L, L) f32.
     """
     c = x_ref.shape[-1]
@@ -130,7 +132,7 @@ def _kernel(x_ref, pos_ref, m_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     qw = part(q_map).reshape(wpp * l, c)
     xw = part(x).reshape(wpp * l, c)
-    m = m_ref[0].reshape(wh, wpp, ww).transpose(1, 0, 2).reshape(wpp, l)
+    m = m_ref[0, 0]                                    # (wpp, L)
     dead = jnp.min(m, axis=1, keepdims=True) > 0.5     # all keys padded
     m = jnp.where(dead, jnp.zeros_like(m), m)
 
@@ -139,26 +141,37 @@ def _kernel(x_ref, pos_ref, m_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                     preferred_element_type=jnp.float32)
         return o.astype(dt) + b_ref[0].astype(dt)
 
-    def split(t2d):
-        return t2d.reshape(wpp, l, n_heads, dh).transpose(0, 2, 1, 3)
-
-    qh = split(proj(qw, wq_ref, bq_ref))               # (wpp, nH, L, dh)
-    kh = split(proj(qw, wk_ref, bk_ref))
-    vh = split(proj(xw, wv_ref, bv_ref))
-    logits = jax.lax.dot_general(
-        qh, kh, (((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32).astype(dt)
-    logits = logits / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(dt)
-    if has_bias:
-        logits = logits + bias_ref[:][None].astype(dt)
+    qp = proj(qw, wq_ref, bq_ref)                      # (wpp*L, C)
+    kp = proj(qw, wk_ref, bk_ref)
+    vp = proj(xw, wv_ref, bv_ref)
+    inv_scale = (1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))).astype(dt)
     neg = jnp.asarray(_NEG, dt)
-    logits = jnp.where((m > 0.5)[:, None, None, :], neg, logits)
-    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
-    out = jax.lax.dot_general(
-        attn, vh, (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32).astype(dt)  # (wpp, nH, L, dh)
-    out = out.transpose(0, 2, 1, 3).reshape(wpp * l, c)
-    y = proj(out, wo_ref, bo_ref)                       # (wpp*L, C)
+    key_pad = (m > 0.5)[:, None, :]                    # (wpp, 1, L)
+    # Static loop over heads: Mosaic supports one matmul batch dim and no
+    # lane-splitting reshapes, so each head is a static 32-lane slice +
+    # sublane-split reshape (probed supported).  The output projection
+    # accumulates per head — concat(heads) @ Wo == sum_h head_h @ Wo_h.
+    acc = jnp.zeros((wpp * l, c), jnp.float32)
+    for hd in range(n_heads):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh = qp[:, sl].reshape(wpp, l, dh)
+        kh = kp[:, sl].reshape(wpp, l, dh)
+        vh = vp[:, sl].reshape(wpp, l, dh)
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt) * inv_scale
+        if has_bias:
+            logits = logits + bias_ref[hd][None].astype(dt)
+        logits = jnp.where(key_pad, neg, logits)
+        attn = jax.nn.softmax(logits.astype(jnp.float32),
+                              axis=-1).astype(dt)
+        oh = jax.lax.dot_general(
+            attn, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt)  # (wpp, L, dh)
+        acc = acc + jnp.dot(oh.reshape(wpp * l, dh),
+                            wo_ref[sl, :].astype(dt),
+                            preferred_element_type=jnp.float32)
+    y = acc.astype(dt) + bo_ref[0].astype(dt)           # (wpp*L, C)
     y = y.reshape(wpp, wh, ww, c).transpose(1, 0, 2, 3)
     out_ref[0] = y.reshape(wh, wpp * ww, c)
 
@@ -177,7 +190,10 @@ def _forward(x, pos, mask, wq, bq, wk, bk, wv, bv, wo, bo, bias,
         bias = jnp.zeros((1, 1, 1), jnp.float32)
     else:
         bias = bias.astype(jnp.float32)
-    mf = mask.astype(jnp.float32)
+    # pre-partition the mask to (B, nWh, nWw, L): it is tiny (no C axis),
+    # and the in-kernel lane-splitting reshape does not lower on Mosaic
+    mf = mask.astype(jnp.float32).reshape(b, h // wh, wh, n_win_w, ww)
+    mf = mf.transpose(0, 1, 3, 2, 4).reshape(b, h // wh, n_win_w, l)
 
     def b2(v):                                          # (C,) -> (1, C)
         return v.reshape(1, -1)
@@ -193,7 +209,7 @@ def _forward(x, pos, mask, wq, bq, wk, bk, wv, bv, wo, bo, bias,
         grid=grid,
         in_specs=[
             strip, strip,
-            pl.BlockSpec((1, wh, wpp * ww), lambda i, j, k: (i, j, k),
+            pl.BlockSpec((1, 1, wpp, l), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
             whole((c, c)), whole((1, c)), whole((c, c)), whole((1, c)),
             whole((c, c)), whole((1, c)), whole((c, c)), whole((1, c)),
