@@ -206,6 +206,13 @@ VARIANTS = {
     "windowed_w256_transplant": ("windowed",
                                  {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
                                   "PRETRAINED_MODEL": "@teacher_w256"}),
+    # hybrid at deployment width: session-6's hybridfps A/B put hybrid at
+    # 32.7 FPS (>= the 3x bar) with the Pallas MSDA coarse levels, so its
+    # width-256 quality row now decides the quality-leaning deployment
+    # option (windowed_w256_transplant 66.0 +- 0.8 is the mark to beat).
+    "hybrid_w256_transplant": ("hybrid",
+                               {"HIDDEN_DIM": 256, "FFN_DIM": 1024,
+                                "PRETRAINED_MODEL": "@teacher_w256"}),
     # the EXACT shipped-flagship candidate: deployment width + shared-CPB
     # rel-pos (the measured-cheaper bias path, promoted if quality-neutral)
     # + transplant init — one row that ties bench.py's benched shape to a
