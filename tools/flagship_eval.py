@@ -38,6 +38,7 @@ PAD = 72            # world margin around the viewport for camera pan
 N_FRAMES = 40
 N_TRAIN_SEQS = 8
 N_VAL_SEQS = 8
+N_FRAMES_V3 = 96    # proxy v3: 2.4x longer sequences (same 256x320 canvas)
 
 
 def make_synvalue(root: str, split: str, n_seqs: int, n_frames: int,
@@ -106,6 +107,146 @@ def make_synvalue(root: str, split: str, n_seqs: int, n_frames: int,
                              f"{vy1 - vy0},1,1,1\n")
             PIL.Image.fromarray(view).save(
                 os.path.join(vdir, "img1", f"{t:08d}.jpg"))
+            pos += vel
+            for d, lim in ((0, ww), (1, wh)):
+                over = (pos[:, d] < 0) | (pos[:, d] + size[:, d] > lim)
+                vel[over, d] *= -1
+                pos[:, d] = np.clip(pos[:, d], 0, lim - size[:, d])
+        with open(os.path.join(vdir, "gt", "gt.txt"), "w") as f:
+            f.write("".join(lines))
+
+
+def make_synvalue_v3(root: str, split: str, n_seqs: int, n_frames: int,
+                     seed: int):
+    """Proxy v3: v2's world pushed toward DanceTrack statistics (VERDICT.md
+    round-3 weak #6).  Differences vs :func:`make_synvalue` (v2):
+
+    - **near-uniform appearance** — 3 base textures per sequence shared by
+      all objects (small per-object brightness offset only), DanceTrack's
+      signature property (uniform outfits): association must come from
+      motion/position continuity, not appearance;
+    - **non-linear motion** — Ornstein-Uhlenbeck velocity noise + weak
+      attraction to a slowly-moving formation center that re-samples its
+      members every ~32 frames (clustering, crossovers, direction
+      reversals) instead of v2's constant velocity + wall bounce;
+    - **mid-sequence entry/exit** — ~40% of objects are born after frame 1
+      (spawned at a world edge moving inward) and/or die before the end,
+      exercising the newborn / miss-tolerance lifecycle paths
+      (models/runtime_tracker.py) that v2's always-present objects never
+      hit mid-sequence;
+    - **depth by position** — per-frame painter's order by box bottom (a
+      lower dancer occludes one behind), so occluder identity changes as
+      objects cross, instead of v2's fixed z-order;
+    - **96 frames** (2.4x v2) at the SAME 256x320 canvas: every compiled
+      program (train clip step, batched eval step) is shape-identical to
+      v2, so a v3 campaign reuses the warm compile cache.
+
+    GT format/visibility rule identical to v2 (MOT txt, >=30% visible).
+    """
+    import PIL.Image
+    rng = np.random.default_rng(seed)
+    wh, ww = H + 2 * PAD, W + 2 * PAD
+    for s in range(n_seqs):
+        vdir = os.path.join(root, "DanceTrack", split, f"dancetrack{s:04d}")
+        os.makedirs(os.path.join(vdir, "img1"), exist_ok=True)
+        os.makedirs(os.path.join(vdir, "gt"), exist_ok=True)
+        bg = rng.integers(40, 140, (wh, ww, 3), np.uint8)
+        n_obj = int(rng.integers(12, 17))
+        # 3 shared base textures at a common nominal size; objects differ
+        # only by a small brightness offset (appearance ~uniform)
+        base_tex = [rng.integers(100, 255, (40, 28, 3), np.uint8)
+                    for _ in range(3)]
+        tex_of = rng.integers(0, 3, n_obj)
+        tint = rng.uniform(0.85, 1.15, n_obj)
+        size = rng.integers(20, 44, (n_obj, 2)).astype(np.float64)
+        pos = rng.uniform([0, 0], [ww - 60, wh - 60], (n_obj, 2))
+        vel = rng.uniform(-4, 4, (n_obj, 2))
+        # birth/death: ~60% full-span; the rest enter after frame 1 (at an
+        # edge, moving inward) and/or exit early.  Every life >= 12 frames.
+        birth = np.ones(n_obj, int)
+        death = np.full(n_obj, n_frames, int)
+        for i in range(n_obj):
+            r = rng.uniform()
+            if r < 0.2:            # late birth
+                birth[i] = int(rng.integers(2, n_frames - 12))
+            elif r < 0.4:          # early death
+                death[i] = int(rng.integers(birth[i] + 12, n_frames + 1)) \
+                    if birth[i] + 12 <= n_frames else n_frames
+            if birth[i] > 1:       # spawn at a world edge, moving inward
+                edge = rng.integers(0, 4)
+                if edge == 0:
+                    pos[i] = [0, rng.uniform(0, wh - 60)]
+                    vel[i, 0] = abs(vel[i, 0]) + 2
+                elif edge == 1:
+                    pos[i] = [ww - size[i, 0], rng.uniform(0, wh - 60)]
+                    vel[i, 0] = -abs(vel[i, 0]) - 2
+                elif edge == 2:
+                    pos[i] = [rng.uniform(0, ww - 60), 0]
+                    vel[i, 1] = abs(vel[i, 1]) + 2
+                else:
+                    pos[i] = [rng.uniform(0, ww - 60), wh - size[i, 1]]
+                    vel[i, 1] = -abs(vel[i, 1]) - 2
+        # scale oscillation (kept from v2; no appearance drift — that would
+        # re-introduce an appearance cue)
+        s_amp = rng.uniform(0.05, 0.25, n_obj)
+        s_frq = rng.uniform(0.05, 0.2, n_obj)
+        s_phi = rng.uniform(0, 2 * np.pi, n_obj)
+        # camera pan as in v2
+        c_amp = rng.uniform(0.3, 1.0, 2) * (PAD - 4)
+        c_frq = rng.uniform(0.04, 0.12, 2)
+        c_phi = rng.uniform(0, 2 * np.pi, 2)
+        # formation center on a slow Lissajous path; membership re-sampled
+        # every 32 frames
+        f_amp = rng.uniform(0.25, 0.45, 2) * np.array([ww, wh])
+        f_frq = rng.uniform(0.02, 0.05, 2)
+        f_phi = rng.uniform(0, 2 * np.pi, 2)
+        member = rng.uniform(size=n_obj) < 0.6
+        vmax = 7.0
+        lines = []
+        for t in range(1, n_frames + 1):
+            if t % 32 == 0:
+                member = rng.uniform(size=n_obj) < 0.6
+            img = bg.copy()
+            cam = (PAD + c_amp * np.sin(c_frq * t + c_phi)).astype(int)
+            center = np.array([ww / 2, wh / 2]) \
+                + f_amp * np.sin(f_frq * t + f_phi)
+            alive = (birth <= t) & (t <= death)
+            boxes = []
+            # painter's order: smaller bottom-y drawn first (occluded)
+            order = np.argsort(pos[:, 1] + size[:, 1])
+            for i in order:
+                if not alive[i]:
+                    continue
+                sc = 1.0 + s_amp[i] * np.sin(s_frq[i] * t + s_phi[i])
+                w_i = max(10, int(round(size[i, 0] * sc)))
+                h_i = max(10, int(round(size[i, 1] * sc)))
+                xi = min(max(int(round(pos[i, 0])), 0), ww - w_i)
+                yi = min(max(int(round(pos[i, 1])), 0), wh - h_i)
+                ry = (np.arange(h_i) * base_tex[tex_of[i]].shape[0]) // h_i
+                rx = (np.arange(w_i) * base_tex[tex_of[i]].shape[1]) // w_i
+                patch = np.clip(
+                    base_tex[tex_of[i]][ry][:, rx].astype(np.float32)
+                    * tint[i], 0, 255).astype(np.uint8)
+                img[yi:yi + h_i, xi:xi + w_i] = patch
+                boxes.append((i, xi, yi, w_i, h_i))
+            view = img[cam[1]:cam[1] + H, cam[0]:cam[0] + W]
+            for i, xi, yi, w_i, h_i in boxes:
+                vx0 = max(xi - cam[0], 0)
+                vy0 = max(yi - cam[1], 0)
+                vx1 = min(xi - cam[0] + w_i, W)
+                vy1 = min(yi - cam[1] + h_i, H)
+                if vx1 <= vx0 or vy1 <= vy0:
+                    continue
+                if (vx1 - vx0) * (vy1 - vy0) < 0.3 * w_i * h_i:
+                    continue
+                lines.append(f"{t},{i + 1},{vx0},{vy0},{vx1 - vx0},"
+                             f"{vy1 - vy0},1,1,1\n")
+            PIL.Image.fromarray(view).save(
+                os.path.join(vdir, "img1", f"{t:08d}.jpg"))
+            # OU velocity + weak formation attraction; soft wall reflection
+            pull = (center - pos) / np.array([ww, wh])
+            acc = 1.2 * pull * member[:, None] + rng.normal(0, 0.9, (n_obj, 2))
+            vel = np.clip(0.92 * vel + acc, -vmax, vmax)
             pos += vel
             for d, lim in ((0, ww), (1, wh)):
                 over = (pos[:, d] < 0) | (pos[:, d] + size[:, d] > lim)
@@ -304,13 +445,28 @@ def run_variant(root: str, workdir: str, name: str, epochs: int,
 
 
 def ensure_data(workdir: str) -> str:
+    """Generate (once) the synthetic proxy dataset for this workdir.
+
+    PROXY_VERSION=3 selects the v3 world (:func:`make_synvalue_v3`);
+    default is v2.  A workdir is pinned to the version that first
+    generated it — mixing versions would silently pair runs against
+    different data, so a marker mismatch is an error, not a regenerate.
+    """
     root = os.path.join(workdir, "data")
-    marker = os.path.join(root, ".proxy_v2")
-    if not os.path.isfile(marker):
-        make_synvalue(root, "train", N_TRAIN_SEQS, N_FRAMES, seed=3)
-        make_synvalue(root, "val", N_VAL_SEQS, N_FRAMES, seed=99)
-        with open(marker, "w") as f:
-            f.write("proxy v2\n")
+    version = os.environ.get("PROXY_VERSION", "2")
+    markers = {v: os.path.join(root, f".proxy_v{v}") for v in ("2", "3")}
+    for other, path in markers.items():
+        if other != version and os.path.isfile(path):
+            raise RuntimeError(
+                f"workdir {workdir} holds proxy v{other} data but "
+                f"PROXY_VERSION={version}; use a fresh workdir per version")
+    if not os.path.isfile(markers[version]):
+        gen, n_frames = ((make_synvalue_v3, N_FRAMES_V3) if version == "3"
+                         else (make_synvalue, N_FRAMES))
+        gen(root, "train", N_TRAIN_SEQS, n_frames, seed=3)
+        gen(root, "val", N_VAL_SEQS, n_frames, seed=99)
+        with open(markers[version], "w") as f:
+            f.write(f"proxy v{version}\n")
     return root
 
 
