@@ -203,6 +203,12 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m, qp, d), jnp.float32),
             interpret=interpret,
+            # let XLA fuse the producer transposes/pads of loc/aw/value
+            # (lines above) into the kernel's input reads — the opaque
+            # custom-call boundary is what inverted the decoder-scale
+            # microbench win in-pipeline (PERF_NOTES round-4 landing)
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                allow_input_fusion=[True, True, True]),
         )(loc_b, aw_b, val_b)
 
     out = jax.vmap(run)(val, loc, aw)                     # (B, M, Qp, D)

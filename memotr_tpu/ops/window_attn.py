@@ -218,7 +218,12 @@ def _forward(x, pos, mask, wq, bq, wk, bk, wv, bv, wo, bo, bias,
         out_specs=strip,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            # let XLA fuse producers (the pad of x/pos/mask, LePE output)
+            # into the kernel's input reads — the custom-call boundary
+            # cost is exactly what inverted the decoder-scale MSDA kernel
+            # win (PERF_NOTES round 4)
+            allow_input_fusion=[True] * 12),
         cost_estimate=pl.CostEstimate(
             flops=b * (h // wh) * n_win_w * flops_win,
             bytes_accessed=2 * b * h * w * c * x.dtype.itemsize,
