@@ -75,6 +75,9 @@ FLAGSHIP = {
     # MSDA impl A/B (VERDICT r3 #4): auto | xla | pallas — flows to every
     # MSDeformAttn site (decoder cross-attn + hybrid/deformable encoder)
     "msda_impl": _os.environ.get("BENCH_MSDA_IMPL", "auto"),
+    # windowed-encoder attention impl A/B: auto | xla | pallas
+    # (ops/window_attn.py fused kernel)
+    "windowed_attn": _os.environ.get("BENCH_WINDOWED_ATTN", "auto"),
 }
 
 
@@ -91,6 +94,7 @@ def _flagship_model_updater(encoder_type: str, n_enc_layers: int,
                    merge_det_track_layer=1, use_dab=True, dtype=jnp.bfloat16,
                    msda_impl=FLAGSHIP["msda_impl"], encoder_type=encoder_type,
                    windowed_shared_cpb=shared_cpb,
+                   windowed_attn_impl=FLAGSHIP["windowed_attn"],
                    hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
                            dtype=jnp.bfloat16)
@@ -228,6 +232,7 @@ def main():
                    dtype=dtype, msda_impl=FLAGSHIP["msda_impl"],
                    encoder_type=encoder_type,
                    windowed_shared_cpb=shared_cpb,
+                   windowed_attn_impl=FLAGSHIP["windowed_attn"],
                    hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
                            dtype=dtype)

@@ -42,6 +42,7 @@ class HybridEncoderLayer(nn.Module):
     use_relpos: bool = True
     prenorm: bool = False
     use_bottomup: bool = True
+    attn_impl: str = "xla"    # fine-level window-attention impl
     dropout: float = 0.0
     msda_impl: str = "auto"
     dtype: Any = jnp.float32
@@ -62,7 +63,8 @@ class HybridEncoderLayer(nn.Module):
             self.d_model, self.d_ffn, self.n_heads, self.window,
             grid=self.grid, use_lepe=self.use_lepe,
             use_bottomup=self.use_bottomup, use_relpos=self.use_relpos,
-            prenorm=self.prenorm, dropout=self.dropout, dtype=self.dtype,
+            prenorm=self.prenorm, attn_impl=self.attn_impl,
+            dropout=self.dropout, dtype=self.dtype,
             name="fine")(levels[:n_fine], masks[:n_fine], poss[:n_fine],
                          deterministic)
 
@@ -103,6 +105,7 @@ class HybridEncoder(nn.Module):
     use_bottomup: bool = True
     use_relpos: bool = True
     prenorm: bool = False
+    attn_impl: str = "xla"         # fine-level window-attention impl
     dropout: float = 0.0
     use_checkpoint: bool = False
     msda_impl: str = "auto"
@@ -139,6 +142,7 @@ class HybridEncoder(nn.Module):
                                use_relpos=self.use_relpos,
                                prenorm=self.prenorm,
                                use_bottomup=self.use_bottomup,
+                               attn_impl=self.attn_impl,
                                dropout=self.dropout,
                                msda_impl=self.msda_impl, dtype=self.dtype,
                                name=f"layer_{i}")(

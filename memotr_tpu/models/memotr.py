@@ -72,6 +72,7 @@ class MeMOTR(nn.Module):
     windowed_window: int = 8
     windowed_prenorm: bool = False
     windowed_shared_cpb: bool = False  # one CPB table for all layers
+    windowed_attn_impl: str = "auto"   # WINDOWED_ATTN_IMPL kernel dispatch
     hybrid_deform_min_level: int = 1   # hybrid: first deformable level
     token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
     dtype: Any = jnp.float32
@@ -164,6 +165,7 @@ class MeMOTR(nn.Module):
             windowed_window=self.windowed_window,
             windowed_prenorm=self.windowed_prenorm,
             windowed_shared_cpb=self.windowed_shared_cpb,
+            windowed_attn_impl=self.windowed_attn_impl,
             hybrid_deform_min_level=self.hybrid_deform_min_level,
             token_shard_axis=self.token_shard_axis,
             dtype=self.dtype, name="transformer")(
@@ -236,6 +238,7 @@ def build_model(config: dict) -> MeMOTR:
         windowed_prenorm=bool(cfg_get(config, "WINDOWED_PRENORM", False)),
         windowed_shared_cpb=bool(cfg_get(config, "WINDOWED_SHARED_CPB",
                                          False)),
+        windowed_attn_impl=cfg_get(config, "WINDOWED_ATTN_IMPL", "auto"),
         hybrid_deform_min_level=int(cfg_get(config, "HYBRID_DEFORM_MIN_LEVEL",
                                             1)),
         token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),

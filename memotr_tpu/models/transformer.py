@@ -57,6 +57,7 @@ class DeformableTransformer(nn.Module):
     windowed_window: int = 8
     windowed_prenorm: bool = False
     windowed_shared_cpb: bool = False
+    windowed_attn_impl: str = "auto"   # WINDOWED_ATTN_IMPL (ops/window_attn)
     hybrid_deform_min_level: int = 1
     # Sequence parallelism: shard the flattened token axis over this mesh
     # axis.  Encoder MSDA is per-query independent and gather-bound on TPU
@@ -114,6 +115,7 @@ class DeformableTransformer(nn.Module):
                 use_relpos=self.windowed_relpos,
                 prenorm=self.windowed_prenorm,
                 shared_cpb=self.windowed_shared_cpb,
+                attn_impl=self.windowed_attn_impl,
                 dropout=self.dropout, use_checkpoint=self.use_checkpoint,
                 dtype=self.dtype, name="encoder")(
                 src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
@@ -129,6 +131,7 @@ class DeformableTransformer(nn.Module):
                 use_bottomup=self.windowed_bottomup,
                 use_relpos=self.windowed_relpos,
                 prenorm=self.windowed_prenorm,
+                attn_impl=self.windowed_attn_impl,
                 dropout=self.dropout, use_checkpoint=self.use_checkpoint,
                 msda_impl=self.msda_impl, dtype=self.dtype, name="encoder")(
                 src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,

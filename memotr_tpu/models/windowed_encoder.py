@@ -38,6 +38,32 @@ from flax import linen as nn
 from .layers import MultiheadAttention
 
 
+class _ProjParams(nn.Module):
+    """Declares one Dense projection's params without computing — same
+    names/initializers as ``nn.Dense``, so the fused-kernel path shares
+    checkpoints with the ``MultiheadAttention`` path bit-for-bit."""
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.linear.default_kernel_init,
+                          (self.d_model, self.d_model))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.d_model,))
+        return kern, bias
+
+
+class _AttnParams(nn.Module):
+    """Param-tree twin of ``MultiheadAttention`` (q/k/v/out projections)
+    for the fused window-attention kernel (ops/window_attn.py)."""
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        return [_ProjParams(self.d_model, name=n)()
+                for n in ("q_proj", "k_proj", "v_proj", "out_proj")]
+
+
 def _block_partition(x: jnp.ndarray, mask: jnp.ndarray, win: int,
                      grid: bool):
     """(B, H, W, C) -> (B*nW, L, C) + key-padding mask.
@@ -153,6 +179,10 @@ class WindowedEncoderLayer(nn.Module):
     prenorm: bool = False         # pre-norm residual blocks (stabler deep
     #                               stacks; post-norm mirrors the reference
     #                               encoder layer, deformable_encoder.py:63)
+    attn_impl: str = "xla"        # "xla" | "pallas" | "auto" — the fused
+    #                               one-pass kernel (ops/window_attn.py) vs
+    #                               the MultiheadAttention formulation;
+    #                               checkpoint-compatible either way
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -166,8 +196,23 @@ class WindowedEncoderLayer(nn.Module):
         relative-position bias tables (WINDOWED_SHARED_CPB — one CPB MLP in
         the parent encoder, evaluated once and reused by every layer, saving
         the ~0.18 ms/layer table recompute, PERF_NOTES.md)."""
-        attn = MultiheadAttention(self.n_heads, self.dropout,
-                                  dtype=self.dtype, name="win_attn")
+        impl = self.attn_impl
+        if impl == "auto":
+            # "auto" resolves to XLA until an in-pipeline A/B on hardware
+            # says otherwise (PERF_NOTES round-4 MSDA lesson: isolated
+            # kernel wins can invert inside the fused pipeline).
+            impl = "xla"
+        use_fused = impl == "pallas" and (self.dropout == 0.0
+                                          or deterministic)
+        if use_fused:
+            from ..ops.window_attn import (grid_transpose, grid_untranspose,
+                                           pallas_supported,
+                                           window_attention_pallas)
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
+                self.d_model, name="win_attn")()
+        else:
+            attn = MultiheadAttention(self.n_heads, self.dropout,
+                                      dtype=self.dtype, name="win_attn")
         if self.use_relpos and shared_bias is None:
             # Swin-v2-style continuous position bias: a small MLP maps
             # log-scaled relative offsets to per-head biases.  An MLP (not a
@@ -200,6 +245,48 @@ class WindowedEncoderLayer(nn.Module):
                 xz = jnp.where(m[..., None], 0.0, x)
                 x = x + lepe(xz)
             xa = norm1(x).astype(x.dtype) if self.prenorm else x
+            if use_fused:
+                # fused one-pass kernel: pad to window multiples, (grid
+                # mode: block-transpose so groups become contiguous
+                # windows), run, crop.  Same math as the branch below —
+                # parity in tests/test_window_attn.py.
+                win = self.window
+                ph, pw = (-h) % win, (-w) % win
+                xp = jnp.pad(xa, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                pp = jnp.pad(pos.astype(x.dtype),
+                             ((0, 0), (0, ph), (0, pw), (0, 0)))
+                mp = jnp.pad(m, ((0, 0), (0, ph), (0, pw)),
+                             constant_values=True)
+                hh, wwp = h + ph, w + pw
+                interp = not pallas_supported()
+                if self.grid:
+                    nbh, nbw = hh // win, wwp // win
+                    bias = (shared_bias[lvl] if shared_bias is not None
+                            else relpos_bias(nbh, nbw, win)
+                            if self.use_relpos else None)
+                    yt = window_attention_pallas(
+                        grid_transpose(xp, win), grid_transpose(pp, win),
+                        grid_transpose(mp, win), wq, bq, wk, bk, wv, bv,
+                        wo, bo, bias, self.n_heads, nbh, nbw, interp)
+                    y = grid_untranspose(yt, win)[:, :h, :w]
+                else:
+                    bias = (shared_bias[lvl] if shared_bias is not None
+                            else relpos_bias(win, win, 1)
+                            if self.use_relpos else None)
+                    y = window_attention_pallas(
+                        xp, pp, mp, wq, bq, wk, bk, wv, bv, wo, bo, bias,
+                        self.n_heads, win, win, interp)[:, :h, :w]
+                drop = nn.Dropout(self.dropout, deterministic=deterministic)
+                if self.prenorm:
+                    x = x + drop(y)
+                    f = lin2(drop(nn.relu(lin1(norm2(x).astype(x.dtype)))))
+                    x = x + drop(f)
+                else:
+                    x = norm1(x + drop(y))
+                    f = lin2(drop(nn.relu(lin1(x))))
+                    x = norm2(x + drop(f))
+                out.append(x)
+                continue
             q = xa + pos.astype(x.dtype)
             qw, mw, hw_pad = _block_partition(q, m, self.window, self.grid)
             xw, _, _ = _block_partition(xa, m, self.window, self.grid)
@@ -251,6 +338,7 @@ class WindowedEncoder(nn.Module):
     #                            tables (window + per-level grid) are
     #                            computed once per forward instead of per
     #                            layer (~0.18 ms/layer, PERF_NOTES.md)
+    attn_impl: str = "xla"     # window-attention impl (WINDOWED_ATTN_IMPL)
     dropout: float = 0.0
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
@@ -294,6 +382,7 @@ class WindowedEncoder(nn.Module):
                                use_bottomup=self.use_bottomup,
                                use_relpos=self.use_relpos,
                                prenorm=self.prenorm,
+                               attn_impl=self.attn_impl,
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
                 levels, masks, poss, deterministic,

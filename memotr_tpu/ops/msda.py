@@ -122,21 +122,28 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto"):
     """Dispatching entry point.  ``impl``: auto | pallas | xla.
 
-    ``auto`` resolves to the XLA fused-gather path everywhere.  The
-    query-tiled gather-free Pallas kernel (ops/msda_pallas.py) wins the
-    ISOLATED microbench at every production scale on v5e
-    (reports/msda_microbench_r4.txt: decoder 1.89 vs 2.29 ms/layer,
-    hybrid-coarse 5.58 vs 11.36, encoder 31.9 vs 49.2), but the round-4
-    FULL-PIPELINE A/B on the flagship went the other way: 56.5 FPS with the
-    kernel in the 6 decoder layers vs 68.0 FPS with the gather path
-    (BENCH_MSDA_IMPL A/B, PERF_NOTES round 4) — in context XLA fuses the
-    gathers with the surrounding projections, which the opaque custom-call
-    boundary forbids.  So ``auto`` stays ``xla``; ``pallas`` remains the
-    explicit opt-in (errors off-TPU outside interpret mode) and the
-    microbench documents where a standalone kernel could matter.
+    ``auto`` resolves by QUERY COUNT, on full-pipeline evidence (both
+    directions measured on the chip, PERF_NOTES round 4):
+
+    - decoder scale (Lq 364): the gather path WINS in-pipeline — flagship
+      68.0 FPS (xla) vs 56.5 (pallas in the 6 decoder layers) despite the
+      kernel's isolated 1.21x microbench win; XLA fuses the gathers with
+      the surrounding projections, which the opaque custom-call boundary
+      forbids.
+    - encoder scale (Lq 6312 coarse / 25512 full): the query-tiled kernel
+      WINS in-pipeline too — hybrid 32.7 FPS (pallas) vs 23.5 (xla),
+      exact deformable-3L 9.1 vs 6.7 (BENCH_MSDA_IMPL A/B, session 6);
+      at these sizes the gather floor (~4 Gelem/s) dominates anything
+      fusion saves.
+
+    The crossover sits between 364 and 6312 queries; ``auto`` uses
+    Lq >= 2048 -> pallas (on TPU), else xla.  Explicit ``xla``/``pallas``
+    remain full overrides.
     """
     if impl == "auto":
-        impl = "xla"
+        from .msda_pallas import pallas_supported
+        lq = sampling_locations.shape[1]
+        impl = "pallas" if (lq >= 2048 and pallas_supported()) else "xla"
     if impl == "pallas":
         from .msda_pallas import ms_deform_attn_pallas
         return ms_deform_attn_pallas(value, spatial_shapes,
