@@ -63,12 +63,17 @@ FE20="python tools/flagship_eval.py $W20 20"
 
 # 0. round-end BENCH insurance + cold-cache warmup (flagship programs)
 run bench0        python bench.py
-# 1. width teacher (seed 42 checkpoint feeds every @teacher_w256 row)
-run teacherw256   $FE deformable_w256 42
-# 2. the decisive v3 rows at deployment width, seed 42
-run w256fam42     $FE windowed_w256,windowed_w256_transplant,hybrid_w256_transplant 42
-# 3. 64-dim v3 core, seed 42 (cheap; anchors the v3 noise bar + 64-dim deltas)
+# 1. 64-dim v3 core, seed 42 — FIRST quality stage on purpose: the round-4
+#    shakeout (scripts/r4_v3_shakeout.sh) never got chip time, so this
+#    cheap triple is the v3 validation gate (generates/trains/evals end to
+#    end, HOTA in a usable range, transplant sign visible) before ~2 h of
+#    w256 rows bet on the v3 world.  If v3 looks broken here, stop the
+#    chain (/tmp/r5_stop), fix the generator, restart with a fresh workdir.
 run core42        $FE deformable,windowed,windowed_transplant 42
+# 2. width teacher (seed 42 checkpoint feeds every @teacher_w256 row)
+run teacherw256   $FE deformable_w256 42
+# 3. the decisive v3 rows at deployment width, seed 42
+run w256fam42     $FE windowed_w256,windowed_w256_transplant,hybrid_w256_transplant 42
 # 4. seed 43 replicates (teacher replicate first for the paired base)
 run teacher43     $FE deformable_w256 43
 run w256fam43     $FE windowed_w256,windowed_w256_transplant,hybrid_w256_transplant 43
