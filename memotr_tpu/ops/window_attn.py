@@ -114,9 +114,14 @@ def _kernel(x_ref, pos_ref, m_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             wh: int, ww: int, wpp: int, n_heads: int, has_bias: bool):
     """One (batch, window-row, window-chunk): ``wpp`` windows end-to-end.
 
-    x_ref/pos_ref: (1, wh, wpp*ww, C); m_ref: (1, 1, wpp, L) f32 (1=pad,
+    x_ref/pos_ref: (1, wh, wpp*ww, C); m_ref: (1, 1, 1, wpp, L) f32 (1=pad,
     pre-partitioned in the wrapper — Mosaic cannot split the lane dim of
-    the in-kernel mask reshape, and the mask is tiny anyway);
+    the in-kernel mask reshape, and the mask is tiny anyway; the chunk
+    axis is its own array dim so the block's last two dims always equal
+    the array's, satisfying Mosaic's (8, 128)-or-full rule at ANY wpp —
+    the (1, 1, wpp, L) layout failed lowering when wpp was neither a
+    multiple of 8 nor the whole row, e.g. the flagship's grid-attention
+    levels);
     w*_ref: (C, C); b*_ref: (1, C); bias_ref: (n_heads, L, L) f32.
     """
     c = x_ref.shape[-1]
@@ -132,7 +137,7 @@ def _kernel(x_ref, pos_ref, m_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     qw = part(q_map).reshape(wpp * l, c)
     xw = part(x).reshape(wpp * l, c)
-    m = m_ref[0, 0]                                    # (wpp, L)
+    m = m_ref[0, 0, 0]                                 # (wpp, L)
     dead = jnp.min(m, axis=1, keepdims=True) > 0.5     # all keys padded
     m = jnp.where(dead, jnp.zeros_like(m), m)
 
@@ -190,10 +195,13 @@ def _forward(x, pos, mask, wq, bq, wk, bk, wv, bv, wo, bo, bias,
         bias = jnp.zeros((1, 1, 1), jnp.float32)
     else:
         bias = bias.astype(jnp.float32)
-    # pre-partition the mask to (B, nWh, nWw, L): it is tiny (no C axis),
-    # and the in-kernel lane-splitting reshape does not lower on Mosaic
+    # pre-partition the mask to (B, nWh, nChunks, wpp, L): it is tiny (no
+    # C axis), and the in-kernel lane-splitting reshape does not lower on
+    # Mosaic; the explicit chunk axis keeps the block's last two dims
+    # equal to the array's (Mosaic (8,128)-or-full rule) for any wpp
     mf = mask.astype(jnp.float32).reshape(b, h // wh, wh, n_win_w, ww)
-    mf = mf.transpose(0, 1, 3, 2, 4).reshape(b, h // wh, n_win_w, l)
+    mf = mf.transpose(0, 1, 3, 2, 4).reshape(
+        b, h // wh, n_win_w // wpp, wpp, l)
 
     def b2(v):                                          # (C,) -> (1, C)
         return v.reshape(1, -1)
@@ -209,7 +217,7 @@ def _forward(x, pos, mask, wq, bq, wk, bk, wv, bv, wo, bo, bias,
         grid=grid,
         in_specs=[
             strip, strip,
-            pl.BlockSpec((1, 1, wpp, l), lambda i, j, k: (i, j, k, 0),
+            pl.BlockSpec((1, 1, 1, wpp, l), lambda i, j, k: (i, j, k, 0, 0),
                          memory_space=pltpu.VMEM),
             whole((c, c)), whole((1, c)), whole((c, c)), whole((1, c)),
             whole((c, c)), whole((1, c)), whole((c, c)), whole((1, c)),

@@ -129,6 +129,27 @@ def test_gradients_match_xla_vjp():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("wpp", [1, 2])
+def test_kernel_chunked_window_rows(monkeypatch, wpp):
+    """wpp < n_win_w: the per-program mask block must pick the right chunk.
+
+    At the flagship shape (800x1536 grid-attention levels) the VMEM
+    budget forces wpp=1 with n_win_w=8; the original (B, nWh, nWw, L)
+    mask layout then failed Mosaic lowering (block (1,1,wpp,L) with wpp
+    neither a multiple of 8 nor the full row).  The 5-d chunked layout
+    keeps the block's last two dims equal to the array's at any wpp; this
+    pins the numeric parity of the chunk indexing (interpret mode)."""
+    import memotr_tpu.ops.window_attn as wa
+    monkeypatch.setattr(wa, "pick_windows_per_program",
+                        lambda *a, **k: wpp)
+    x, pos, mask, p, bias = make_inputs(seed=5)
+    args = kernel_args(x, pos, mask, p, bias)
+    got = window_attention_pallas(*args, HEADS, WIN, WIN, True)
+    ref = window_attention_xla(*args, HEADS, WIN, WIN)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_bf16_smoke():
     x, pos, mask, p, bias = make_inputs(seed=4)
     xb, posb = x.astype(jnp.bfloat16), pos.astype(jnp.bfloat16)
