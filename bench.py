@@ -284,10 +284,13 @@ def main():
         if peak:
             out["mfu"] = round(flops_frame * fps / peak, 4)
         if stats.get("bytes"):
-            # HBM-bandwidth utilization bound of the same program
-            # (v5e ~819 GB/s); whichever of mfu/hbm_util is higher is the
-            # roofline the step is riding
-            out["hbm_util"] = round(
+            # Upper BOUND on HBM-bandwidth utilization, not a measured
+            # utilization: XLA's cost-analysis "bytes accessed" counts
+            # logical bytes per op, so fusion/reuse makes the true HBM
+            # traffic lower and this ratio can exceed 1.0 (v5e ~819 GB/s).
+            # Whichever of mfu / this bound is higher is the roofline the
+            # step is riding.
+            out["hbm_bound_upper"] = round(
                 stats["bytes"] / batch * fps / 819e9, 4)
     print(json.dumps(out))
 

@@ -56,12 +56,20 @@ class FFN(nn.Module):
 class MultiheadAttention(nn.Module):
     """Dot-product attention with torch ``nn.MultiheadAttention`` semantics.
 
-    - joint QKV projection when q/k/v dims are equal (single in_proj),
+    - separate q/k/v Dense projections named q_proj/k_proj/v_proj (torch's
+      joint in_proj is split on checkpoint conversion,
+      checkpoint/torch_convert.py),
     - ``key_padding_mask`` True = ignore that key,
     - output projection, scaling by ``1/sqrt(head_dim)``.
 
     Used for decoder self-attention (deformable_decoder.py:200-205) and the
     query updater's memory attention (query_updater.py:45).
+
+    TWIN CONTRACT: ``windowed_encoder._AttnParams`` declares a byte-exact
+    twin of this module's param tree (four Dense projections with the
+    names above) for the fused window-attention kernel.  Any change to the
+    projection structure here must be mirrored there — cross-checked by
+    tests/test_window_attn.py checkpoint-compat parity.
     """
     num_heads: int
     dropout: float = 0.0

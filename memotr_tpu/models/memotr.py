@@ -212,6 +212,18 @@ def build_model(config: dict) -> MeMOTR:
     """Build from a flat UPPER_CASE config (reference memotr.py:290-321)."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         cfg_get(config, "DTYPE", "bfloat16")]
+    if (cfg_get(config, "WINDOWED_PRENORM", False)
+            and cfg_get(config, "ENCODER_TYPE", "deformable") in
+            ("windowed", "hybrid") and int(config["HIDDEN_DIM"]) >= 256):
+        # Measured trap (QUALITY.md round 4): pre-norm at deployment width
+        # collapses training — windowed_w256_pre6 landed at 31.2 HOTA vs
+        # 50.2 post-norm.  The 64-dim depth-ablation advice does NOT
+        # transfer to >=256-dim widths.
+        import warnings
+        warnings.warn(
+            "WINDOWED_PRENORM=True with HIDDEN_DIM>=256 is a known-bad "
+            "combination (31.2 vs 50.2 HOTA at width 256, QUALITY.md); "
+            "use post-norm at deployment width.", stacklevel=2)
     return MeMOTR(
         num_classes=num_classes_for_dataset(config["DATASET"]),
         n_det_queries=config["NUM_DET_QUERIES"],

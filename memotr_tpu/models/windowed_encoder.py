@@ -198,12 +198,19 @@ class WindowedEncoderLayer(nn.Module):
         the ~0.18 ms/layer table recompute, PERF_NOTES.md)."""
         impl = self.attn_impl
         if impl == "auto":
-            # "auto" resolves to XLA until an in-pipeline A/B on hardware
-            # says otherwise (PERF_NOTES round-4 MSDA lesson: isolated
-            # kernel wins can invert inside the fused pipeline).
+            # "auto" resolves to XLA: the in-pipeline A/B on hardware was
+            # run and DECIDED against the fused kernel at the flagship
+            # shape (53.5 vs 68.2 FPS warm, PERF_NOTES round-4 session 9)
+            # despite its isolated microbench win — XLA fuses the attn
+            # with the surrounding LePE/FFN, which the custom-call
+            # boundary forbids.  "pallas" remains an explicit override.
             impl = "xla"
-        use_fused = impl == "pallas" and (self.dropout == 0.0
-                                          or deterministic)
+        # NOTE: use_fused must depend only on STATIC config (impl,
+        # dropout), never on the runtime ``deterministic`` flag —
+        # otherwise init/eval and train would declare different param
+        # trees for the same module.  pallas + dropout>0 therefore uses
+        # the XLA path in BOTH modes (the fused kernel has no dropout).
+        use_fused = impl == "pallas" and self.dropout == 0.0
         if use_fused:
             from ..ops.window_attn import (grid_transpose, grid_untranspose,
                                            pallas_supported,

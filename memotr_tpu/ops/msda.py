@@ -139,6 +139,14 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     The crossover sits between 364 and 6312 queries; ``auto`` uses
     Lq >= 2048 -> pallas (on TPU), else xla.  Explicit ``xla``/``pallas``
     remain full overrides.
+
+    Provenance: the threshold was measured at BATCH 1 (flagship streaming
+    inference).  The crossover is really about total gather volume
+    (B * Lq), so large-batch decoder-scale work (e.g. SUBMIT_BATCH=8
+    eval, B*Lq ~= 2912) may sit on the wrong side of the heuristic —
+    both paths are parity-tested, so this costs speed only, never
+    correctness.  Fold batch into the rule only if a measured A/B at
+    batch>1 shows an inversion.
     """
     if impl == "auto":
         from .msda_pallas import pallas_supported

@@ -34,6 +34,30 @@ def test_defaults():
     assert num_classes_for_dataset("DanceTrack") == 1
 
 
+def test_prenorm_width_trap_warns():
+    """WINDOWED_PRENORM at HIDDEN_DIM>=256 is a measured-bad combination
+    (31.2 vs 50.2 HOTA, QUALITY.md round 4) — build_model must warn."""
+    import warnings
+
+    from memotr_tpu.models.memotr import build_model
+
+    base = dict(DATASET="DanceTrack", NUM_DET_QUERIES=10,
+                NUM_FEATURE_LEVELS=4, HIDDEN_DIM=256, FFN_DIM=64,
+                NUM_HEADS=8, NUM_ENC_POINTS=4, NUM_DEC_POINTS=4,
+                NUM_ENC_LAYERS=1, NUM_DEC_LAYERS=1, DROPOUT=0.0,
+                ENCODER_TYPE="windowed", WINDOWED_PRENORM=True)
+    with pytest.warns(UserWarning, match="WINDOWED_PRENORM"):
+        build_model(dict(base))
+    # 64-dim pre-norm (the depth-ablation regime) stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_model(dict(base, HIDDEN_DIM=64))
+    # post-norm at width stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_model(dict(base, WINDOWED_PRENORM=False))
+
+
 def test_tpu_native_key_overlay_without_yaml_entry():
     """CLI flags for known TPU-native keys (``_DEFAULTS``) overlay even when
     the experiment yaml omits them; unknown keys still error."""

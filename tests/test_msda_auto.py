@@ -1,4 +1,4 @@
-"""MSDA ``auto`` dispatch threshold (lands with _staging/msda_dispatch.py).
+"""MSDA ``auto`` dispatch threshold (memotr_tpu/ops/msda.py).
 
 Round-4 full-pipeline evidence (PERF_NOTES): the query-tiled Pallas kernel
 wins in-pipeline at encoder scale (hybrid 32.7 vs 23.5 FPS) but loses at

@@ -2,7 +2,7 @@
 MultiheadAttention path with the SAME parameters (checkpoint-compatible),
 across grid layers, shared-CPB, prenorm, padding-heavy shapes.
 
-Lands with _staging/windowed_encoder_attn.py (attn_impl field).  Kernel
+Covers models/windowed_encoder.py (attn_impl field).  Kernel
 math itself is covered by tests/test_window_attn.py; this pins the module
 wiring (param-tree twin, per-level pad/crop, grid transpose round trip,
 bias source selection).
