@@ -74,10 +74,21 @@ run core42        $FE deformable,windowed,windowed_transplant 42
 run teacherw256   $FE deformable_w256 42
 # 3. the decisive v3 rows at deployment width, seed 42
 run w256fam42     $FE windowed_w256,windowed_w256_transplant,hybrid_w256_transplant 42
+# 3b. frame-scan vs unrolled cold-compile measurement (VERDICT r4 next #4)
+#     — standalone tool, fresh cache dir, does not touch the campaign cache
+run scancompile   python tools/profile_compile.py
+[ -f "$LOGS/scancompile.log" ] && cp "$LOGS/scancompile.log" reports/scancompile_r5.jsonl
 # 4. seed 43 replicates (teacher replicate first for the paired base)
 run teacher43     $FE deformable_w256 43
 run w256fam43     $FE windowed_w256,windowed_w256_transplant,hybrid_w256_transplant 43
+# 4b. shared-CPB at width, re-earned paired on v3 (VERDICT r4 next #5: the
+#     -3.1 HOTA cpb tax was n=1 on v2; pairs with w256fam43's
+#     windowed_w256_transplant s43 in this same workdir)
+run cpbtrans43    $FE windowed_w256_transplant_cpb 43
 run core43        $FE windowed,windowed_transplant 43
+# 4c. hybrid 64-dim, n=2 on v3 (VERDICT r4 next #5's other n=1 row)
+run hybrid42      $FE hybrid 42
+run hybrid43      $FE hybrid 43
 # 5. n=3 on the headline + its paired bases
 run w256fam44     $FE deformable_w256,windowed_w256,windowed_w256_transplant 44
 run core44        $FE windowed,windowed_transplant 44
