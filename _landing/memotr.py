@@ -1,0 +1,268 @@
+"""MeMOTR top-level model.
+
+Behavioral spec: ``/root/reference/models/memotr.py:28-321``.  One frame in,
+detection + track predictions out:
+
+- ResNet-50 backbone -> layer2/3/4 features; 1x1 conv + GroupNorm(32)
+  projections plus one stride-2 3x3 level off layer4 (memotr.py:66-78,107-123),
+- sine position embeddings (temperature 20) per level from the downsampled
+  padding masks,
+- learned detection queries: DAB anchors (Nd, 4) + content embeddings (Nd, C)
+  (memotr.py:59-62), concatenated with the frame's fixed track-slot queries,
+- deformable transformer with per-layer class/box heads (inside the decoder —
+  the same parameter sharing the reference wires via ``set_refine_bbox_embed``).
+
+Unlike the reference, the track side has a *fixed* slot count: the model
+signature takes ``(track_query_embed, track_ref_pts, track_mask)`` arrays of
+static shape, so the compiled step is reused every frame.  The output dict
+uses fixed shapes as well; ``query_mask`` marks dead slots (True = invalid),
+matching the reference's padding convention (memotr.py:267-278).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import cfg_get, num_classes_for_dataset
+from ..utils.misc import inverse_sigmoid
+from .position_embedding import sine_position_embedding
+from .resnet import ResNet50
+from .transformer import DeformableTransformer
+
+
+def _downsample_mask(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Nearest-neighbor downsample of a (B, H, W) bool mask (backbone.py:96).
+
+    Matches torch ``F.interpolate(mode="nearest")`` exactly: source index =
+    ``floor(i * H_in / H_out)``.  (``jax.image.resize`` nearest samples at
+    cell centers ``(i+0.5)*scale`` instead, which flips boundary cells when
+    the pad edge falls mid-cell — measured as a 1e-2 valid-ratio divergence
+    vs the reference at stride-32 levels.)"""
+    b, hh, ww = mask.shape
+    ri = (jnp.arange(h) * hh) // h
+    ci = (jnp.arange(w) * ww) // w
+    return mask[:, ri][:, :, ci]
+
+
+class MeMOTR(nn.Module):
+    num_classes: int = 1
+    n_det_queries: int = 300
+    n_feature_levels: int = 4
+    hidden_dim: int = 256
+    ffn_dim: int = 1024
+    n_heads: int = 8
+    n_enc_points: int = 4
+    n_dec_points: int = 4
+    n_enc_layers: int = 6
+    n_dec_layers: int = 6
+    merge_det_track_layer: int = 0
+    dropout: float = 0.0
+    extra_track_attn: bool = False
+    use_dab: bool = True
+    with_box_refine: bool = True
+    use_checkpoint: bool = False
+    msda_impl: str = "auto"
+    encoder_type: str = "deformable"   # deformable | windowed | conv | hybrid
+    windowed_lepe: bool = True         # windowed-encoder ablation knobs
+    windowed_bottomup: bool = True
+    windowed_relpos: bool = True
+    windowed_window: int = 8
+    windowed_prenorm: bool = False
+    windowed_shared_cpb: bool = False  # one CPB table for all layers
+    windowed_attn_impl: str = "auto"   # WINDOWED_ATTN_IMPL kernel dispatch
+    hybrid_deform_min_level: int = 1   # hybrid: first deformable level
+    token_shard_axis: Any = None   # sequence-parallel token axis (see transformer.py)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, img_mask: jnp.ndarray,
+                 track_query_embed: jnp.ndarray, track_ref_pts: jnp.ndarray,
+                 track_mask: jnp.ndarray,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """images: (B, H, W, 3) normalized; img_mask: (B, H, W) True=pad;
+        track_query_embed: (B, S, C or 2C); track_ref_pts: (B, S, 4) logit
+        space; track_mask: (B, S) True = live slot.
+
+        Returns a dict (L = n_dec_layers, N = Nd + S):
+          pred_logits (B, N, K)     pred_boxes (B, N, 4)
+          last_ref_pts (B, N, 4)    init_ref_pts (B, N, 4)   [logit space]
+          query_mask (B, N)         det_query_embed (Nd, C or 2C)
+          outputs (B, N, C)         all_logits (L, B, N, K)
+          all_boxes (L, B, N, 4)    queries (L, B, N, C)
+        """
+        b = images.shape[0]
+        c = self.hidden_dim
+
+        feats = ResNet50(dtype=self.dtype, name="backbone")(
+            images.astype(self.dtype))
+
+        cached_pos = None
+        if self.has_variable("frame_ctx", "pos_embeds"):
+            # sequence-constant sine position maps, precomputed host-side
+            # (models/eval_cache.py attach_eval_cache — streaming eval
+            # only): the padding mask is fixed per sequence, so the
+            # per-frame sine/cumsum recompute is pure overhead
+            # (VERDICT r4 #6)
+            cached_pos = self.get_variable("frame_ctx", "pos_embeds")
+        srcs, masks, poss = [], [], []
+        n_backbone = len(feats)
+        for i, f in enumerate(feats):
+            src = nn.Conv(c, (1, 1), dtype=self.dtype,
+                          name=f"feature_proj_{i}_conv")(f)
+            src = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, dtype=jnp.float32,
+                               name=f"feature_proj_{i}_norm")(src)
+            m = _downsample_mask(img_mask, src.shape[1], src.shape[2])
+            srcs.append(src.astype(self.dtype))
+            masks.append(m)
+            poss.append(cached_pos[i] if cached_pos is not None
+                        else sine_position_embedding(m, c // 2))
+        for i in range(n_backbone, self.n_feature_levels):
+            inp = feats[-1] if i == n_backbone else srcs[-1]
+            src = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                          dtype=self.dtype, name=f"feature_proj_{i}_conv")(inp)
+            src = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, dtype=jnp.float32,
+                               name=f"feature_proj_{i}_norm")(src)
+            m = _downsample_mask(img_mask, src.shape[1], src.shape[2])
+            srcs.append(src.astype(self.dtype))
+            masks.append(m)
+            poss.append(cached_pos[i] if cached_pos is not None
+                        else sine_position_embedding(m, c // 2))
+
+        # --- detection queries (memotr.py:59-62, 245-278) --------------------
+        if self.use_dab:
+            det_anchor = self.param("det_anchor", nn.initializers.normal(1.0),
+                                    (self.n_det_queries, 4), jnp.float32)
+            det_query = self.param("det_query_embed",
+                                   nn.initializers.normal(1.0),
+                                   (self.n_det_queries, c), jnp.float32)
+            det_refs = det_anchor
+        else:
+            det_query = self.param("det_query_embed",
+                                   nn.initializers.normal(1.0),
+                                   (self.n_det_queries, 2 * c), jnp.float32)
+            # D-DETR infers 2-d reference points from the positional half
+            rp = nn.Dense(2, dtype=jnp.float32, name="reference_points")(
+                det_query[:, :c])
+            det_refs = jnp.concatenate([rp, jnp.zeros_like(rp)], axis=-1)
+
+        det_refs_b = jnp.broadcast_to(det_refs[None], (b,) + det_refs.shape)
+        det_query_b = jnp.broadcast_to(det_query[None], (b,) + det_query.shape)
+        ref_pts = jnp.concatenate(
+            [det_refs_b, track_ref_pts.astype(jnp.float32)], axis=1)
+        query_embed = jnp.concatenate(
+            [det_query_b.astype(self.dtype),
+             track_query_embed.astype(self.dtype)], axis=1)
+        query_mask = jnp.concatenate(
+            [jnp.zeros((b, self.n_det_queries), bool), ~track_mask], axis=1)
+
+        dec = DeformableTransformer(
+            d_model=c, d_ffn=self.ffn_dim, n_levels=self.n_feature_levels,
+            n_heads=self.n_heads, n_enc_points=self.n_enc_points,
+            n_dec_points=self.n_dec_points, n_enc_layers=self.n_enc_layers,
+            n_dec_layers=self.n_dec_layers, num_classes=self.num_classes,
+            n_det_queries=self.n_det_queries,
+            merge_det_track_layer=self.merge_det_track_layer,
+            dropout=self.dropout, extra_track_attn=self.extra_track_attn,
+            use_dab=self.use_dab, with_box_refine=self.with_box_refine,
+            use_checkpoint=self.use_checkpoint, msda_impl=self.msda_impl,
+            encoder_type=self.encoder_type,
+            windowed_lepe=self.windowed_lepe,
+            windowed_bottomup=self.windowed_bottomup,
+            windowed_relpos=self.windowed_relpos,
+            windowed_window=self.windowed_window,
+            windowed_prenorm=self.windowed_prenorm,
+            windowed_shared_cpb=self.windowed_shared_cpb,
+            windowed_attn_impl=self.windowed_attn_impl,
+            hybrid_deform_min_level=self.hybrid_deform_min_level,
+            token_shard_axis=self.token_shard_axis,
+            dtype=self.dtype, name="transformer")(
+            srcs, masks, poss, query_embed, ref_pts, query_mask, deterministic)
+
+        # refs[-2] is the reference entering the last layer (memotr.py:183)
+        last_ref = dec["refs"][-2] if self.n_dec_layers > 1 else dec["init_reference"]
+        out = {
+            "pred_logits": dec["logits"][-1],
+            "pred_boxes": dec["boxes"][-1],
+            "last_ref_pts": inverse_sigmoid(last_ref),
+            "init_ref_pts": inverse_sigmoid(dec["init_reference"]),
+            "query_mask": query_mask,
+            "det_query_embed": det_query,
+            "outputs": dec["outputs"][-1].astype(jnp.float32),
+            "all_logits": dec["logits"],
+            "all_boxes": dec["boxes"],
+            "queries": dec["queries"].astype(jnp.float32),
+            # encoder memory for feature distillation; dead code (DCE'd by
+            # XLA) on paths that do not read it
+            "memory": dec["memory"],
+            "memory_mask": dec["memory_mask"],
+        }
+        if self.token_shard_axis is not None:
+            # Replicate the memory outputs.  When the token count is not
+            # divisible by the mesh (e.g. a 340-token pyramid on 8 devices),
+            # GSPMD canonicalizes the token sharding into a partially-
+            # replicated tiling ([1,4,1,2] last_tile_dim_replicate) that jax
+            # cannot express as a PartitionSpec on the 1-axis mesh, and jit
+            # OUTPUT shardings must be expressible (ValueError in
+            # sharding_impls; tests/test_token_sharding.py).  These outputs
+            # are DCE'd inside the train/streaming steps (only distillation
+            # and raw .apply read them), so the gather costs nothing there.
+            from jax.sharding import PartitionSpec as P
+            rep = P()
+            out["memory"] = jax.lax.with_sharding_constraint(
+                out["memory"], rep)
+            out["memory_mask"] = jax.lax.with_sharding_constraint(
+                out["memory_mask"], rep)
+        return out
+
+
+def build_model(config: dict) -> MeMOTR:
+    """Build from a flat UPPER_CASE config (reference memotr.py:290-321)."""
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        cfg_get(config, "DTYPE", "bfloat16")]
+    if (cfg_get(config, "WINDOWED_PRENORM", False)
+            and cfg_get(config, "ENCODER_TYPE", "deformable") in
+            ("windowed", "hybrid") and int(config["HIDDEN_DIM"]) >= 256):
+        # Measured trap (QUALITY.md round 4): pre-norm at deployment width
+        # collapses training — windowed_w256_pre6 landed at 31.2 HOTA vs
+        # 50.2 post-norm.  The 64-dim depth-ablation advice does NOT
+        # transfer to >=256-dim widths.
+        import warnings
+        warnings.warn(
+            "WINDOWED_PRENORM=True with HIDDEN_DIM>=256 is a known-bad "
+            "combination (31.2 vs 50.2 HOTA at width 256, QUALITY.md); "
+            "use post-norm at deployment width.", stacklevel=2)
+    return MeMOTR(
+        num_classes=num_classes_for_dataset(config["DATASET"]),
+        n_det_queries=config["NUM_DET_QUERIES"],
+        n_feature_levels=config["NUM_FEATURE_LEVELS"],
+        hidden_dim=config["HIDDEN_DIM"],
+        ffn_dim=config["FFN_DIM"],
+        n_heads=config["NUM_HEADS"],
+        n_enc_points=config["NUM_ENC_POINTS"],
+        n_dec_points=config["NUM_DEC_POINTS"],
+        n_enc_layers=config["NUM_ENC_LAYERS"],
+        n_dec_layers=config["NUM_DEC_LAYERS"],
+        merge_det_track_layer=cfg_get(config, "MERGE_DET_TRACK_LAYER", 0),
+        dropout=config["DROPOUT"],
+        extra_track_attn=cfg_get(config, "EXTRA_TRACK_ATTN", False),
+        use_dab=cfg_get(config, "USE_DAB", True),
+        with_box_refine=True,
+        use_checkpoint=config.get("USE_CHECKPOINT", False),
+        msda_impl=cfg_get(config, "MSDA_IMPL", "auto"),
+        encoder_type=cfg_get(config, "ENCODER_TYPE", "deformable"),
+        windowed_lepe=bool(cfg_get(config, "WINDOWED_LEPE", True)),
+        windowed_bottomup=bool(cfg_get(config, "WINDOWED_BOTTOMUP", True)),
+        windowed_relpos=bool(cfg_get(config, "WINDOWED_RELPOS", True)),
+        windowed_window=int(cfg_get(config, "WINDOW_SIZE", 8)),
+        windowed_prenorm=bool(cfg_get(config, "WINDOWED_PRENORM", False)),
+        windowed_shared_cpb=bool(cfg_get(config, "WINDOWED_SHARED_CPB",
+                                         False)),
+        windowed_attn_impl=cfg_get(config, "WINDOWED_ATTN_IMPL", "auto"),
+        hybrid_deform_min_level=int(cfg_get(config, "HYBRID_DEFORM_MIN_LEVEL",
+                                            1)),
+        token_shard_axis=cfg_get(config, "TOKEN_SHARD_AXIS", None),
+        dtype=dtype,
+    )
