@@ -191,6 +191,78 @@ def test_encoder_shared_cpb_still_works():
     assert "cpb_mlp1" not in variables["params"]["layer_0"]
 
 
+def test_layer_attn_ctx_supplied_equals_internal():
+    """Passing a precomputed make_attention_ctx must equal the layer's
+    internal build (the hybrid encoder calls with attn_ctx=None)."""
+    levels, masks, poss = _pyramid(jax.random.PRNGKey(10))
+    layer = we.WindowedEncoderLayer(d_model=32, d_ffn=64, n_heads=4,
+                                    window=4, grid=True)
+    params = layer.init(jax.random.PRNGKey(11), levels, masks, poss)
+    base = layer.apply(params, levels, masks, poss)
+    ctx = we.make_attention_ctx(poss, masks, 4, grid=True)
+    got = layer.apply(params, levels, masks, poss, True, None, ctx)
+    for g, w_ in zip(got, base):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
+
+
+def test_submitter_eval_cache_output_identity(tmp_path):
+    """End-to-end Submitter with EVAL_CACHE on vs off writes identical
+    MOT txt (integration: attach ordering, pipelined packed step, canvas
+    mask plumbing)."""
+    import os
+
+    import PIL.Image
+
+    from memotr_tpu.engine.submit import Submitter
+    from memotr_tpu.models.memotr import MeMOTR
+    from memotr_tpu.models.query_updater import QueryUpdater
+    from memotr_tpu.structures.track_state import TrackState
+
+    seq = tmp_path / "seq" / "img1"
+    seq.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for t in range(1, 4):
+        img = rng.integers(0, 255, (64, 80, 3), np.uint8)
+        img[20:40, 10 + 8 * t:30 + 8 * t] = 255
+        PIL.Image.fromarray(img).save(seq / f"{t:08d}.jpg")
+
+    c, slots = 32, 4
+    model = MeMOTR(num_classes=1, n_det_queries=8, n_feature_levels=4,
+                   hidden_dim=c, ffn_dim=64, n_heads=4, n_enc_layers=2,
+                   n_dec_layers=2, merge_det_track_layer=1, use_dab=True,
+                   encoder_type="windowed", windowed_window=4)
+    updater = QueryUpdater(hidden_dim=c, ffn_dim=64, use_dab=True)
+    k = jax.random.PRNGKey(0)
+    h, w = 64, 96
+    state = TrackState.empty(1, slots, c, 1, use_dab=True)
+    images = jnp.zeros((1, h, w, 3), jnp.float32)
+    mask = jnp.zeros((1, h, w), bool)
+    params = model.init(k, images, mask, state.query_embed, state.ref_pts,
+                        state.mask)
+    uparams = updater.init(k, state.query_embed, state.ref_pts, state.logits,
+                           state.boxes, state.output_embed, state.last_output,
+                           state.long_memory, state.mask)
+    config = {"DET_SCORE_THRESH": 0.0, "TRACK_SCORE_THRESH": 0.0,
+              "RESULT_SCORE_THRESH": 0.0, "MISS_TOLERANCE": 3,
+              "TRACK_SLOTS": slots, "HIDDEN_DIM": c, "USE_DAB": True,
+              "EVAL_SHORT_SIDE": h, "EVAL_MAX_SIDE": w}
+
+    outs = {}
+    for on in (True, False):
+        out_dir = tmp_path / f"out_{int(on)}"
+        sub = Submitter("DanceTrack", str(tmp_path / "seq"), "seq",
+                        str(out_dir), model, updater, params, uparams,
+                        dict(config, EVAL_CACHE=on))
+        if on:
+            assert "frame_ctx" in sub.params and "cpb_cache" in sub.params
+        else:
+            assert "frame_ctx" not in sub.params
+        sub.run()
+        txt = os.path.join(str(out_dir), "tracker", "seq.txt")
+        outs[on] = open(txt).read() if os.path.exists(txt) else ""
+    assert outs[True] == outs[False]
+
+
 def test_encoder_grad_with_checkpoint_and_shared_cpb():
     """remat + dynamic (array-valued) shared_bias: the bias tables must be
     traced, not static, through nn.remat (static_argnums pins only
