@@ -19,8 +19,12 @@ Reference analogue being accelerated: the per-frame training loop in
 from __future__ import annotations
 
 import json
+import os
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
