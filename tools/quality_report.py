@@ -102,20 +102,37 @@ def main():
     # seeds.  Pairing removes the between-seed variance component, so lever
     # effects are resolvable well below the unpaired noise bar.
     runs = collect(workdir)
+    done = set()
+
+    def paired(variant, base):
+        if (variant, base) in done or variant not in runs or base not in runs:
+            return
+        done.add((variant, base))
+        shared = sorted(set(runs[variant]) & set(runs[base]))
+        if not shared:
+            return
+        d = [runs[variant][s]["HOTA"] - runs[base][s]["HOTA"]
+             for s in shared]
+        mean = float(np.mean(d))
+        sd = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
+        print(f"paired  {variant:28s} - {base:24s} "
+              f"(seeds {shared}): dHOTA = {mean:+.2f}"
+              + (f" +- {sd:.2f}" if len(d) > 1 else ""))
+
     for variant in sorted(runs):
         for base in sorted(runs, key=len, reverse=True):
             if base != variant and variant.startswith(base + "_"):
-                shared = sorted(set(runs[variant]) & set(runs[base]))
-                if not shared:
-                    break
-                d = [runs[variant][s]["HOTA"] - runs[base][s]["HOTA"]
-                     for s in shared]
-                mean = float(np.mean(d))
-                sd = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
-                print(f"paired  {variant:28s} - {base:12s} "
-                      f"(seeds {shared}): dHOTA = {mean:+.2f}"
-                      + (f" +- {sd:.2f}" if len(d) > 1 else ""))
+                paired(variant, base)
                 break
+    # cross-family pairs the prefix rule cannot see: the student-above-
+    # teacher claims (transplant vs its distillation TEACHER) and the
+    # hybrid-vs-flagship serving tradeoff
+    for variant, base in (("windowed_transplant", "deformable"),
+                          ("windowed_w256", "deformable_w256"),
+                          ("windowed_w256_transplant", "deformable_w256"),
+                          ("hybrid_w256_transplant",
+                           "windowed_w256_transplant")):
+        paired(variant, base)
     if "--md" in sys.argv:
         print()
         print(markdown_table(agg))
