@@ -110,14 +110,24 @@ def measure(clip_len: int, frame_scan: bool) -> dict:
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
-    # one real step (host fetch forces execution through the relay)
-    new_state, logs = compiled(state, frozen, batch,
-                               jax.random.PRNGKey(2), lrs)
-    loss = float(jax.device_get(logs["total_loss"]))
-    del new_state
+    # steady-state step time (the other half of the default decision:
+    # lax.scan can block cross-frame fusion, so a compile-time win must
+    # not buy a step-time regression).  The state is donated, so feed
+    # each step from the previous one; the host fetch of a loss that
+    # depends on the computation forces execution through the relay
+    # (CLAUDE.md benchmarking rule).
+    loss = None
+    step_times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, logs = compiled(state, frozen, batch,
+                               jax.random.PRNGKey(2 + i), lrs)
+        loss = float(jax.device_get(logs["total_loss"]))
+        step_times.append(time.perf_counter() - t0)
     return {"clip": clip_len, "frame_scan": frame_scan,
             "trace_s": round(t_trace, 2), "compile_s": round(t_compile, 2),
             "total_s": round(t_trace + t_compile, 2),
+            "step_s": round(min(step_times[1:]), 3),
             "loss_finite": bool(jnp.isfinite(loss))}
 
 
@@ -138,6 +148,8 @@ def main():
             "clip": clip_len,
             "cold_compile_speedup": round(off["total_s"]
                                           / max(on["total_s"], 1e-9), 2),
+            "step_slowdown": round(on["step_s"]
+                                   / max(off["step_s"], 1e-9), 3),
         }), flush=True)
 
 
