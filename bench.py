@@ -252,6 +252,15 @@ def main():
                                     state.output_embed, state.last_output,
                                     state.long_memory, state.mask)
 
+    if _os.environ.get("BENCH_EVAL_CACHE", "1") == "1":
+        # cross-frame eval constants (models/eval_cache.py) — part of the
+        # shipped streaming path (Submitter attaches them too); the knob
+        # exists for the with/without A/B (VERDICT r4 #6)
+        import numpy as _np
+        from memotr_tpu.models.eval_cache import attach_eval_cache
+        params = attach_eval_cache(model, params, (h, w),
+                                   _np.zeros((batch, h, w), bool))
+
     step = make_eval_step(model, updater, n_det, det_thresh=0.5,
                           track_thresh=0.5, miss_tolerance=30)
 

@@ -270,6 +270,15 @@ class Submitter:
             image_height=cfg_get(config, "EVAL_SHORT_SIDE", 800),
             image_width=cfg_get(config, "EVAL_MAX_SIDE", 1536),
             uint8=self.pipelined)
+        # cross-frame eval constants (pos embeds + windowed CPB tables):
+        # the canvas mask is sequence-constant, so they are computed once
+        # host-side and ride the variables dict (models/eval_cache.py,
+        # VERDICT r4 #6).  EVAL_CACHE: 0 restores per-frame recompute.
+        if bool(config.get("EVAL_CACHE", True)):
+            from ..models.eval_cache import attach_eval_cache
+            _m0 = np.asarray(self.dataset[0]["mask"])
+            self.params = attach_eval_cache(model, self.params,
+                                            _m0.shape, _m0[None])
         self.step = make_eval_step(model, updater, model.n_det_queries,
                                    self.det_thresh, self.track_thresh,
                                    self.miss_tolerance)
@@ -529,6 +538,12 @@ class BatchedSubmitter:
         self.hidden_dim = config["HIDDEN_DIM"]
         self.use_dab = cfg_get(config, "USE_DAB", True)
         self.area_thresh = 100
+        if bool(config.get("EVAL_CACHE", True)):
+            # per-lane masks differ; the canvas is asserted shared above
+            from ..models.eval_cache import attach_eval_cache
+            _m0 = np.stack([ds[0]["mask"] for ds in datasets])
+            self.params = attach_eval_cache(model, self.params,
+                                            _m0.shape[1:], _m0)
         self.step = make_eval_step(model, updater, model.n_det_queries,
                                    config["DET_SCORE_THRESH"],
                                    config["TRACK_SCORE_THRESH"],

@@ -99,6 +99,14 @@ class MeMOTR(nn.Module):
         feats = ResNet50(dtype=self.dtype, name="backbone")(
             images.astype(self.dtype))
 
+        cached_pos = None
+        if self.has_variable("frame_ctx", "pos_embeds"):
+            # sequence-constant sine position maps, precomputed host-side
+            # (models/eval_cache.py attach_eval_cache — streaming eval
+            # only): the padding mask is fixed per sequence, so the
+            # per-frame sine/cumsum recompute is pure overhead
+            # (VERDICT r4 #6)
+            cached_pos = self.get_variable("frame_ctx", "pos_embeds")
         srcs, masks, poss = [], [], []
         n_backbone = len(feats)
         for i, f in enumerate(feats):
@@ -109,7 +117,8 @@ class MeMOTR(nn.Module):
             m = _downsample_mask(img_mask, src.shape[1], src.shape[2])
             srcs.append(src.astype(self.dtype))
             masks.append(m)
-            poss.append(sine_position_embedding(m, c // 2))
+            poss.append(cached_pos[i] if cached_pos is not None
+                        else sine_position_embedding(m, c // 2))
         for i in range(n_backbone, self.n_feature_levels):
             inp = feats[-1] if i == n_backbone else srcs[-1]
             src = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
@@ -119,7 +128,8 @@ class MeMOTR(nn.Module):
             m = _downsample_mask(img_mask, src.shape[1], src.shape[2])
             srcs.append(src.astype(self.dtype))
             masks.append(m)
-            poss.append(sine_position_embedding(m, c // 2))
+            poss.append(cached_pos[i] if cached_pos is not None
+                        else sine_position_embedding(m, c // 2))
 
         # --- detection queries (memotr.py:59-62, 245-278) --------------------
         if self.use_dab:

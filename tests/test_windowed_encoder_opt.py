@@ -110,7 +110,8 @@ def _pyramid(rng, b=2, c=32, shapes=((17, 23), (9, 12), (5, 6))):
         poss.append(jax.random.normal(k2, (b, h, w, c), jnp.float32))
         m = np.zeros((b, h, w), bool)
         m[0, h - max(1, h // 4):, :] = True      # bottom band padded
-        m[1, :, w - max(1, w // 3):] = True      # right band padded
+        if b > 1:
+            m[1, :, w - max(1, w // 3):] = True  # right band padded
         masks.append(jnp.asarray(m))
     return levels, masks, poss
 
