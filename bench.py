@@ -83,7 +83,9 @@ FLAGSHIP = {
 
 def _flagship_model_updater(encoder_type: str, n_enc_layers: int,
                             shared_cpb: bool = False,
-                            hybrid_min_level: int = 1):
+                            hybrid_min_level: int = 1,
+                            msda_impl: str = "auto",
+                            windowed_attn: str = "auto"):
     import jax.numpy as jnp
     from memotr_tpu.models.memotr import MeMOTR
     from memotr_tpu.models.query_updater import QueryUpdater
@@ -92,9 +94,9 @@ def _flagship_model_updater(encoder_type: str, n_enc_layers: int,
                    hidden_dim=c, ffn_dim=2048, n_heads=8,
                    n_enc_layers=n_enc_layers, n_dec_layers=6,
                    merge_det_track_layer=1, use_dab=True, dtype=jnp.bfloat16,
-                   msda_impl=FLAGSHIP["msda_impl"], encoder_type=encoder_type,
+                   msda_impl=msda_impl, encoder_type=encoder_type,
                    windowed_shared_cpb=shared_cpb,
-                   windowed_attn_impl=FLAGSHIP["windowed_attn"],
+                   windowed_attn_impl=windowed_attn,
                    hybrid_deform_min_level=hybrid_min_level)
     updater = QueryUpdater(hidden_dim=c, ffn_dim=2048, use_dab=True,
                            dtype=jnp.bfloat16)

@@ -148,17 +148,24 @@ def attach_eval_cache(model, variables: Dict, image_hw: Tuple[int, int],
     img_mask = np.asarray(img_mask, bool)
     shapes = pyramid_shapes(h, w, model.n_feature_levels)
 
+    import jax
+
     poss = tuple(
         np_sine_position_embedding(np_downsample_mask(img_mask, hh, ww),
                                    model.hidden_dim // 2)
         for (hh, ww) in shapes)
     out = dict(variables)
-    out["frame_ctx"] = {"pos_embeds": poss}
+    # device_put ONCE: the collections ride the params argument of every
+    # compiled step call — raw numpy here would be re-uploaded per frame
+    # (~26 MB/frame at 800x1536 through the relay: measured 64 -> 1.3 FPS
+    # before this device_put)
+    out["frame_ctx"] = jax.device_put({"pos_embeds": poss})
 
     if model.encoder_type == "windowed" and model.windowed_relpos:
         enc_params = variables["params"]["transformer"]["encoder"]
         tabs = cpb_tables(enc_params, model.n_enc_layers,
                           model.windowed_window, shapes)
         if tabs is not None:
-            out["cpb_cache"] = {"transformer": {"encoder": {"tables": tabs}}}
+            out["cpb_cache"] = jax.device_put(
+                {"transformer": {"encoder": {"tables": tabs}}})
     return out

@@ -25,29 +25,10 @@ computation is MXU-shaped:
 
 This changes the architecture (NOT checkpoint-compatible with the
 reference); select it with ``ENCODER_TYPE: windowed``.
-
-Round-5 XLA-path restructure (VERDICT r4 #6 — same math, same param tree,
-parity-pinned by tests/test_windowed_encoder_opt.py):
-
-- the window/grid partitions of the position embeddings and padding masks
-  are layer-invariant: built ONCE per encoder forward
-  (``make_attention_ctx``) and shared by every layer of that mode — and
-  the per-layer query partition is computed once and reused for both the
-  q and k/v streams (previously 3 partition transposes per level per
-  layer, now 1);
-- window-mode levels all share block length L = P*P and one bias table, so
-  their attention runs as ONE batched call across levels (grid-mode block
-  lengths differ per level and stay per-level);
-- the residual + FFN tail is pointwise per token and runs once on the
-  flattened all-level token axis instead of per level;
-- the CPB bias tables depend only on parameters: when a ``cpb_cache``
-  collection is present in the variables (attach via
-  ``models/eval_cache.attach_eval_cache`` — streaming eval only), layers
-  skip the per-frame MLP+gather recompute (~0.18 ms/layer, PERF_NOTES.md).
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,49 +64,32 @@ class _AttnParams(nn.Module):
                 for n in ("q_proj", "k_proj", "v_proj", "out_proj")]
 
 
-def _partition_x(x: jnp.ndarray, win: int, grid: bool):
-    """(B, H, W, C) -> (B*nW, L, C) window/grid blocks.
-
-    ``grid=False``: contiguous PxP windows (L = P*P).  ``grid=True``: the
-    transposed (MaxViT) decomposition — groups are strided positions,
-    members span the whole map at stride P (L = ceil(H/P)*ceil(W/P)).
-    Pads H/W to multiples of ``win``."""
-    b, h, w, c = x.shape
-    ph, pw = (-h) % win, (-w) % win
-    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    hh, ww = h + ph, w + pw
-    x = x.reshape(b, hh // win, win, ww // win, win, c)
-    if grid:
-        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(
-            b * win * win, (hh // win) * (ww // win), c)
-    else:
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
-    return x, (hh, ww)
-
-
-def _partition_m(m: jnp.ndarray, win: int, grid: bool) -> jnp.ndarray:
-    """(B, H, W) bool -> (B*nW, L) key-padding mask (padding tokens True)."""
-    b, h, w = m.shape
-    ph, pw = (-h) % win, (-w) % win
-    m = jnp.pad(m, ((0, 0), (0, ph), (0, pw)), constant_values=True)
-    hh, ww = h + ph, w + pw
-    m = m.reshape(b, hh // win, win, ww // win, win)
-    if grid:
-        return m.transpose(0, 2, 4, 1, 3).reshape(
-            b * win * win, (hh // win) * (ww // win))
-    return m.transpose(0, 1, 3, 2, 4).reshape(-1, win * win)
-
-
 def _block_partition(x: jnp.ndarray, mask: jnp.ndarray, win: int,
                      grid: bool):
-    """(B, H, W, C) -> (B*nW, L, C) + key-padding mask (combined helper,
-    kept for ops/window_attn.py parity tests)."""
-    xw, hw = _partition_x(x, win, grid)
-    return xw, _partition_m(mask, win, grid), hw
+    """(B, H, W, C) -> (B*nW, L, C) + key-padding mask.
 
-
-def _pad_hw(h: int, w: int, win: int) -> Tuple[int, int]:
-    return h + (-h) % win, w + (-w) % win
+    ``grid=False``: contiguous PxP windows.  ``grid=True``: the transposed
+    (MaxViT) decomposition — groups are strided positions, attention spans
+    the whole map at stride P.  Pads H/W to multiples of ``win`` (padding
+    tokens masked)."""
+    b, h, w, c = x.shape
+    ph = (-h) % win
+    pw = (-w) % win
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    m = jnp.pad(mask, ((0, 0), (0, ph), (0, pw)), constant_values=True)
+    hh, ww = x.shape[1], x.shape[2]
+    x = x.reshape(b, hh // win, win, ww // win, win, c)
+    m = m.reshape(b, hh // win, win, ww // win, win)
+    if grid:
+        # groups = (win_pos_h, win_pos_w); members = (block_h, block_w)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(
+            b * win * win, (hh // win) * (ww // win), c)
+        m = m.transpose(0, 2, 4, 1, 3).reshape(
+            b * win * win, (hh // win) * (ww // win))
+    else:
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+        m = m.transpose(0, 1, 3, 2, 4).reshape(-1, win * win)
+    return x, m, (hh, ww)
 
 
 def _relpos_table(n_h: int, n_w: int, scale: int) -> Tuple[np.ndarray,
@@ -173,33 +137,6 @@ def _block_merge(xw: jnp.ndarray, hw_pad: Tuple[int, int], b: int, h: int,
         x = xw.reshape(b, hh // win, ww // win, win, win, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
     return x[:, :h, :w]
-
-
-def make_attention_ctx(poss: List[jnp.ndarray], masks: List[jnp.ndarray],
-                       win: int, grid: bool) -> dict:
-    """Layer-invariant attention context for one partition mode, built ONCE
-    per encoder forward and shared by every layer of that mode (the pos and
-    mask re-partitions were 2 of the 3 partition transposes per level per
-    layer — VERDICT r4 #6):
-
-    - ``pos``: per-level partitioned position embeddings, kept in float32
-      (cast to the stream dtype at the add, matching the per-layer math);
-    - ``mask``: per-level partitioned key-padding masks with the
-      fully-masked-group escape pre-applied (a group of only padding
-      tokens would NaN the softmax; one dummy key is opened — its outputs
-      are padding and never read).
-
-    Padded (hh, ww) shapes are NOT carried here: they are static and
-    re-derived from level shapes in the layer (``_pad_hw``), so the ctx
-    stays a pure array pytree (safe through ``nn.remat``)."""
-    pos_parts, mask_parts = [], []
-    for pos, m in zip(poss, masks):
-        pw_, _ = _partition_x(pos, win, grid)
-        mw_ = _partition_m(m, win, grid)
-        all_dead = jnp.all(mw_, axis=1, keepdims=True)
-        mask_parts.append(jnp.where(all_dead, jnp.zeros_like(mw_), mw_))
-        pos_parts.append(pw_)
-    return {"pos": tuple(pos_parts), "mask": tuple(mask_parts)}
 
 
 def cross_level_fuse(out: List[jnp.ndarray], topdown, bottomup,
@@ -252,21 +189,13 @@ class WindowedEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], masks: List[jnp.ndarray],
                  poss: List[jnp.ndarray], deterministic: bool = True,
-                 shared_bias: Any = None, attn_ctx: Optional[dict] = None):
+                 shared_bias: Any = None):
         """levels: per-level (B, H_l, W_l, C); masks: (B, H_l, W_l) True=pad.
 
         ``shared_bias``: optional per-level list of precomputed (H, L, L)
-        relative-position bias tables — either the parent encoder's
-        shared-CPB tables (WINDOWED_SHARED_CPB: one CPB MLP evaluated once
-        per forward) or the cross-frame ``cpb_cache`` constants
-        (models/eval_cache.py).  ``attn_ctx``: optional precomputed
-        partition context from ``make_attention_ctx`` (built internally
-        when None, e.g. from the hybrid encoder's per-layer call).
-
-        With ``dropout > 0`` the batched/flattened attention+FFN calls
-        consume RNG in a different per-level pattern than the historical
-        per-level calls (same distribution, different masks); all shipped
-        configs train at dropout 0."""
+        relative-position bias tables (WINDOWED_SHARED_CPB — one CPB MLP in
+        the parent encoder, evaluated once and reused by every layer, saving
+        the ~0.18 ms/layer table recompute, PERF_NOTES.md)."""
         impl = self.attn_impl
         if impl == "auto":
             # "auto" resolves to XLA: the in-pipeline A/B on hardware was
@@ -313,22 +242,22 @@ class WindowedEncoderLayer(nn.Module):
         topdown = nn.Dense(self.d_model, dtype=self.dtype, name="topdown_mix")
         bottomup = nn.Dense(self.d_model, dtype=self.dtype,
                             name="bottomup_mix")
-        win = self.window
-        b = levels[0].shape[0]
 
-        if use_fused:
-            # fused one-pass kernel: pad to window multiples, (grid mode:
-            # block-transpose so groups become contiguous windows), run,
-            # crop.  Same math as the XLA path — parity in
-            # tests/test_window_attn.py.  Kept per-level and self-contained
-            # (an opt-in path; the in-pipeline A/B decided against it).
-            out = []
-            for lvl, (x, m, pos) in enumerate(zip(levels, masks, poss)):
-                _, h, w, _ = x.shape
-                if lepe is not None:
-                    xz = jnp.where(m[..., None], 0.0, x)
-                    x = x + lepe(xz)
-                xa = norm1(x).astype(x.dtype) if self.prenorm else x
+        out = []
+        for lvl, (x, m, pos) in enumerate(zip(levels, masks, poss)):
+            b, h, w, _ = x.shape
+            if lepe is not None:
+                # local positional mixing; zero padded pixels so the conv
+                # does not smear padding into the valid region
+                xz = jnp.where(m[..., None], 0.0, x)
+                x = x + lepe(xz)
+            xa = norm1(x).astype(x.dtype) if self.prenorm else x
+            if use_fused:
+                # fused one-pass kernel: pad to window multiples, (grid
+                # mode: block-transpose so groups become contiguous
+                # windows), run, crop.  Same math as the branch below —
+                # parity in tests/test_window_attn.py.
+                win = self.window
                 ph, pw = (-h) % win, (-w) % win
                 xp = jnp.pad(xa, ((0, 0), (0, ph), (0, pw), (0, 0)))
                 pp = jnp.pad(pos.astype(x.dtype),
@@ -364,85 +293,37 @@ class WindowedEncoderLayer(nn.Module):
                     f = lin2(drop(nn.relu(lin1(x))))
                     x = norm2(x + drop(f))
                 out.append(x)
-            return cross_level_fuse(out, topdown,
-                                    bottomup if self.use_bottomup else None,
-                                    self.dtype)
-
-        # ---- XLA path ----------------------------------------------------
-        if attn_ctx is None:
-            attn_ctx = make_attention_ctx(poss, masks, win, self.grid)
-
-        # local positional mixing; zero padded pixels so the conv does not
-        # smear padding into the valid region
-        xs = []
-        for x, m in zip(levels, masks):
-            if lepe is not None:
-                xz = jnp.where(m[..., None], 0.0, x)
-                x = x + lepe(xz)
-            xs.append(x)
-
-        if shared_bias is not None:
-            biases = list(shared_bias)
-        elif self.use_relpos:
-            if self.grid:
-                biases = [relpos_bias(hh // win, ww // win, win)
-                          for (hh, ww) in
-                          (_pad_hw(x.shape[1], x.shape[2], win) for x in xs)]
-            else:
-                # level-independent table (member grid is always win x win)
-                biases = [relpos_bias(win, win, 1)] * len(xs)
-        else:
-            biases = [None] * len(xs)
-
-        xa_maps = [norm1(x).astype(x.dtype) if self.prenorm else x
-                   for x in xs]
-        ys = []
-        if not self.grid:
-            # every level shares L = win*win and one bias table: one
-            # attention call over the concatenated window batch
-            parts = [_partition_x(xa, win, False)[0] for xa in xa_maps]
-            sizes = [p.shape[0] for p in parts]
-            xw = jnp.concatenate(parts, axis=0)
-            qw = jnp.concatenate(
-                [p + pp.astype(p.dtype)
-                 for p, pp in zip(parts, attn_ctx["pos"])], axis=0)
-            mw = jnp.concatenate(attn_ctx["mask"], axis=0)
+                continue
+            q = xa + pos.astype(x.dtype)
+            qw, mw, hw_pad = _block_partition(q, m, self.window, self.grid)
+            xw, _, _ = _block_partition(xa, m, self.window, self.grid)
+            # fully-masked groups (all padding) would NaN the softmax; open
+            # one dummy key — their outputs are padding and never read
+            all_dead = jnp.all(mw, axis=1, keepdims=True)
+            mw = jnp.where(all_dead, jnp.zeros_like(mw), mw)
+            bias = None
+            if shared_bias is not None:
+                bias = shared_bias[lvl]
+            elif self.use_relpos:
+                hh, ww = hw_pad
+                if self.grid:
+                    bias = relpos_bias(hh // self.window, ww // self.window,
+                                       self.window)
+                else:
+                    bias = relpos_bias(self.window, self.window, 1)
             aw = attn(qw, qw, xw, key_padding_mask=mw,
-                      deterministic=deterministic, attn_bias=biases[0])
-            for sp, x in zip(jnp.split(aw, list(np.cumsum(sizes))[:-1],
-                                       axis=0), xs):
-                h, w = x.shape[1], x.shape[2]
-                ys.append(_block_merge(sp, _pad_hw(h, w, win), b, h, w,
-                                       win, False))
-        else:
-            for xa, pp, mw, bias_l, x in zip(xa_maps, attn_ctx["pos"],
-                                             attn_ctx["mask"], biases, xs):
-                xw, hw_pad = _partition_x(xa, win, True)
-                qw = xw + pp.astype(xw.dtype)
-                aw = attn(qw, qw, xw, key_padding_mask=mw,
-                          deterministic=deterministic, attn_bias=bias_l)
-                ys.append(_block_merge(aw, hw_pad, b, x.shape[1], x.shape[2],
-                                       win, True))
-
-        # residual + FFN: pointwise per token — once over the flattened
-        # all-level token axis (identical math to the per-level form)
-        c = xs[0].shape[-1]
-        xf = jnp.concatenate([x.reshape(b, -1, c) for x in xs], axis=1)
-        yf = jnp.concatenate([y.reshape(b, -1, c) for y in ys], axis=1)
-        drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        if self.prenorm:
-            xf = xf + drop(yf)
-            f = lin2(drop(nn.relu(lin1(norm2(xf).astype(xf.dtype)))))
-            xf = xf + drop(f)
-        else:
-            xf = norm1(xf + drop(yf))
-            f = lin2(drop(nn.relu(lin1(xf))))
-            xf = norm2(xf + drop(f))
-        out, start = [], 0
-        for x in xs:
-            h, w = x.shape[1], x.shape[2]
-            out.append(xf[:, start:start + h * w].reshape(b, h, w, c))
-            start += h * w
+                      deterministic=deterministic, attn_bias=bias)
+            y = _block_merge(aw, hw_pad, b, h, w, self.window, self.grid)
+            drop = nn.Dropout(self.dropout, deterministic=deterministic)
+            if self.prenorm:
+                x = x + drop(y)
+                f = lin2(drop(nn.relu(lin1(norm2(x).astype(x.dtype)))))
+                x = x + drop(f)
+            else:
+                x = norm1(x + drop(y))
+                f = lin2(drop(nn.relu(lin1(x))))
+                x = norm2(x + drop(f))
+            out.append(x)
 
         return cross_level_fuse(out, topdown,
                                 bottomup if self.use_bottomup else None,
@@ -486,9 +367,8 @@ class WindowedEncoder(nn.Module):
             start += h * w
 
         # cross-frame CPB bias constants (streaming eval; eval_cache.py):
-        # tables depend only on params, so recomputing them per frame is
-        # pure overhead — when the collection is present, every layer gets
-        # its tables as shared_bias and skips the MLP+gather
+        # tables depend only on params; when the collection is present,
+        # layers get them as shared_bias and skip the MLP+gather recompute
         cpb_const = None
         if self.use_relpos and self.has_variable("cpb_cache", "tables"):
             cpb_const = self.get_variable("cpb_cache", "tables")
@@ -505,27 +385,11 @@ class WindowedEncoder(nn.Module):
                                    (ww + (-ww) % w) // w, w)
                          for (h, ww) in spatial_shapes]
 
-        # layer-invariant partitioned pos/mask contexts, one per attention
-        # mode, shared by every layer of that mode (VERDICT r4 #6)
-        win_ctx = make_attention_ctx(poss, masks, self.window, grid=False)
-        grid_ctx = (make_attention_ctx(poss, masks, self.window, grid=True)
-                    if self.num_layers > 1 else None)
-
         layer_cls = WindowedEncoderLayer
         if self.use_checkpoint:
-            # static_argnums counts self as 0 (flax linen subtracts 1
-            # before the core lift): 4 = ``deterministic``.  shared_bias
-            # (5) and attn_ctx (6) stay dynamic — they carry traced arrays
-            # under shared_cpb / cpb_cache.
             layer_cls = nn.remat(WindowedEncoderLayer, static_argnums=(4,))
         for i in range(self.num_layers):
             grid = i % 2 == 1
-            if cpb_const is not None:
-                sb = list(cpb_const[i])
-            elif self.shared_cpb and self.use_relpos:
-                sb = grid_bias if grid else win_bias
-            else:
-                sb = None
             levels = layer_cls(self.d_model, self.d_ffn, self.n_heads,
                                self.window, grid=grid,
                                use_lepe=self.use_lepe,
@@ -535,8 +399,10 @@ class WindowedEncoder(nn.Module):
                                attn_impl=self.attn_impl,
                                dropout=self.dropout, dtype=self.dtype,
                                name=f"layer_{i}")(
-                levels, masks, poss, deterministic, sb,
-                grid_ctx if grid else win_ctx)
+                levels, masks, poss, deterministic,
+                list(cpb_const[i]) if cpb_const is not None else
+                ((grid_bias if grid else win_bias)
+                 if self.shared_cpb and self.use_relpos else None))
         if self.prenorm:
             final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                  name="final_norm")

@@ -3,8 +3,8 @@
 The numpy mirrors (sine position embedding, mask downsample, CPB tables,
 pyramid shapes) must match their in-graph jnp originals, and a full model
 forward with the attached collections must equal the uncached forward.
-The full-model test needs the landed windowed-encoder/memotr read hooks
-and skips until then."""
+The full-model tests exercise the landed windowed-encoder/memotr read
+hooks."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,8 +83,6 @@ def test_np_cpb_table_matches_graph():
     np.testing.assert_allclose(got, jax_bias(5, 7, 4), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.skipif(not hasattr(we, "make_attention_ctx"),
-                    reason="restructure not landed yet")
 def test_full_model_cache_parity():
     """MeMOTR forward with attach_eval_cache == uncached forward (both
     collections: frame_ctx pos embeds + windowed cpb_cache)."""
@@ -141,8 +139,6 @@ def test_full_model_cache_parity():
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.skipif(not hasattr(we, "make_attention_ctx"),
-                    reason="restructure not landed yet")
 def test_eval_step_cache_parity_jitted():
     """The jitted streaming step accepts the augmented variables dict
     (extra collections ride the params argument) and tracks identically."""
